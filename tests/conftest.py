@@ -1,0 +1,27 @@
+"""Test harness: force the CPU backend with an 8-device virtual mesh so
+multi-chip sharding paths compile and execute without TPU hardware
+(SURVEY §4 implication).
+
+Note: the environment's axon site-hook imports jax at interpreter startup and
+pins the TPU-tunnel platform, so plain env vars are too late here — we must go
+through jax.config. host_platform_device_count gives the 8 virtual CPU devices
+for Mesh tests.
+"""
+import os
+
+os.environ.setdefault("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3141592)
