@@ -1,0 +1,253 @@
+"""Event-to-model alignment — the EDS pose tracker.
+
+TPU-native redesign of ``eds::tracking::Tracker`` + ``PhotometricError``
+(reference src/tracking/Tracker.cpp, src/tracking/PhotometricError.hpp):
+
+Residual per active point i (PhotometricError::operator(), :124-182):
+    model_i = -(gx_i * flow_x + gy_i * flow_y)
+    r_i     = w_i * (model_i / ||model|| - E(pi(R X_i + t)))
+with the interaction-matrix flow (compute_flow, :114-122), ||model|| the
+l2-norm over the whole point set (+1e-3 guard like :132; the reference
+normalizes per Ceres thread-chunk — SURVEY §7 flags that the norm then
+depends on num_threads, so we use one global normalization), and E the
+Frobenius-normalized event frame sampled bicubically (:170-173).
+
+State: translation px (3), unit quaternion qx (4), unit-norm 6-dof velocity
+vx (Tracker.hpp:47-49). Local parameterization matches the reference:
+quaternion via exp-map increment (EigenQuaternionParameterization) and
+velocity via normalized addition (UnitNormVectorAddition,
+PhotometricError.hpp:32-54).
+
+Solver: LM over the 12-dof local increment. Where the reference leans on
+Ceres autodiff, we use jax.jacfwd of the full residual vector — exact
+derivatives including the global-normalization coupling and the bicubic
+sampling gradient, at ~12x the residual cost in forward mode (the reference
+pays 2 Evaluate passes per point chunk per iteration). Robust scale is
+re-estimated from the final residuals via MAD (getLossParams, :281-317).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+from ..utils.lie import SE3
+from ..utils.cameras import Pinhole
+from ..utils.interp import bicubic
+from ..utils.stats import (huber_weight, cauchy_weight, masked_mad,
+                           masked_mean_std, HUBER_K)
+
+
+class TrackerState(NamedTuple):
+    px: jax.Array    # [3] translation of T_ef_kf
+    qx: jax.Array    # [4] quaternion [w,x,y,z] of T_ef_kf
+    vx: jax.Array    # [6] unit-norm [linear(3), angular(3)] velocity
+
+
+class TrackerResult(NamedTuple):
+    state: TrackerState
+    residuals: jax.Array    # [P] final weighted residuals
+    energy: jax.Array       # scalar robust energy
+    n_iter: jax.Array
+    loss_scale: jax.Array   # MAD-updated Huber scale for the next solve
+
+
+def initial_tracker_state(dtype=jnp.float32) -> TrackerState:
+    """Reference init: zero pose, velocity (0.1,...)/|..| (Tracker.cpp:40-47)."""
+    v = jnp.full((6,), 0.1, dtype)
+    return TrackerState(px=jnp.zeros(3, dtype), qx=lie.quat_identity(dtype),
+                        vx=v / jnp.linalg.norm(v))
+
+
+def compute_flow(norm_coord, vx, idp):
+    """Interaction-matrix optical flow at normalized coords [P, 2] with
+    inverse depths [P] (compute_flow, PhotometricError.hpp:114-122)."""
+    x = norm_coord[:, 0]
+    y = norm_coord[:, 1]
+    v0, v1, v2, w0, w1, w2 = (vx[0], vx[1], vx[2], vx[3], vx[4], vx[5])
+    fx = -idp * v0 + x * idp * v2 + x * y * w0 - (1.0 + x * x) * w1 + y * w2
+    fy = -idp * v1 + y * idp * v2 + (1.0 + y * y) * w0 - x * y * w1 - x * w2
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def event_residuals(state: TrackerState, event_frame, cam: Pinhole,
+                    norm_coord, grad, idp, weights, mask,
+                    norm_eps: float = 1e-3):
+    """The full residual vector [P] (masked lanes -> 0)."""
+    flow = compute_flow(norm_coord, state.vx, idp)
+    model = -(grad[:, 0] * flow[:, 0] + grad[:, 1] * flow[:, 1])
+    model = jnp.where(mask, model, 0.0)
+    model_norm = jnp.sqrt(norm_eps + jnp.sum(model * model))
+
+    # 3D points from normalized coords + inverse depth (eps guard :100)
+    z = 1.0 / (idp + 1e-5)
+    X = jnp.stack([norm_coord[:, 0] * z, norm_coord[:, 1] * z, z], axis=-1)
+    R = lie.quat_to_mat(state.qx)
+    p = X @ R.T + state.px[None, :]
+    xp = cam.fx * (p[:, 0] / p[:, 2]) + cam.cx
+    yp = cam.fy * (p[:, 1] / p[:, 2]) + cam.cy
+    ev = bicubic(event_frame, xp, yp)
+    r = weights * (model / model_norm - ev)
+    return jnp.where(mask, r, 0.0)
+
+
+def _apply_local(state: TrackerState, delta):
+    """12-dof local update: translation additive, quaternion exp-map,
+    velocity normalized addition."""
+    px = state.px + delta[0:3]
+    qx = lie.quat_normalize(lie.quat_mul(lie.quat_exp(delta[3:6]), state.qx))
+    v = state.vx + delta[6:12]
+    vx = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+    return TrackerState(px=px, qx=qx, vx=vx)
+
+
+class _Carry(NamedTuple):
+    state: TrackerState
+    lam: jax.Array
+    energy: jax.Array
+    it: jax.Array
+    done: jax.Array
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "loss_kind"))
+def optimize(state: TrackerState, event_frame, cam: Pinhole,
+             norm_coord, grad, idp, weights, mask,
+             max_iterations: int = 20, loss_kind: str = "huber",
+             loss_scale=0.2, function_tolerance: float = 1e-6) -> TrackerResult:
+    """One pyramid-level solve (Tracker::optimize). Returns the optimized
+    state, final residuals, and the MAD-refreshed loss scale."""
+    dtype = norm_coord.dtype
+    loss_scale = jnp.asarray(loss_scale, dtype)
+
+    def res_of_delta(delta, st):
+        return event_residuals(_apply_local(st, delta), event_frame, cam,
+                               norm_coord, grad, idp, weights, mask)
+
+    def robust_weights(r):
+        if loss_kind == "huber":
+            return huber_weight(r, loss_scale)
+        if loss_kind == "cauchy":
+            return cauchy_weight(r, loss_scale)
+        return jnp.ones_like(r)
+
+    def energy_of(r):
+        w = robust_weights(r)
+        return jnp.sum(w * r * r)
+
+    zero = jnp.zeros(12, dtype)
+
+    def body(c: _Carry):
+        r = res_of_delta(zero, c.state)
+        J = jax.jacfwd(res_of_delta)(zero, c.state)     # [P, 12]
+        w = jax.lax.stop_gradient(robust_weights(r)) * mask
+        H = (J * w[:, None]).T @ J
+        g = (J * w[:, None]).T @ r
+        Hl = H + c.lam * jnp.diag(jnp.diagonal(H)) \
+            + 1e-10 * jnp.eye(12, dtype=dtype)
+        delta = -jnp.linalg.solve(Hl, g)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        new_state = _apply_local(c.state, delta)
+        e_new = energy_of(res_of_delta(zero, new_state))
+        accept = e_new < c.energy
+        st = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_state, c.state)
+        lam = jnp.where(accept, c.lam * 0.5, c.lam * 4.0)
+        lam = jnp.clip(lam, 1e-7, 1e5)
+        energy = jnp.where(accept, e_new, c.energy)
+        rel = jnp.abs(c.energy - energy) / jnp.maximum(c.energy, 1e-12)
+        done = accept & (rel < function_tolerance)
+        return _Carry(st, lam, energy, c.it + 1, done)
+
+    e0 = energy_of(res_of_delta(zero, state))
+    init = _Carry(state, jnp.asarray(1e-4, dtype), e0, jnp.asarray(0),
+                  jnp.asarray(False))
+    out = jax.lax.while_loop(
+        lambda c: (c.it < max_iterations) & ~c.done, body, init)
+
+    r_final = res_of_delta(zero, out.state)
+    # MAD re-estimation of the robust scale for the next solve
+    mad, _ = masked_mad(r_final, mask)
+    new_scale = jnp.maximum(HUBER_K * mad, 1e-6)
+    return TrackerResult(state=out.state, residuals=r_final,
+                         energy=out.energy, n_iter=out.it,
+                         loss_scale=new_scale)
+
+
+def optimize_pyramid(state: TrackerState, event_frames, cam: Pinhole,
+                     norm_coord, grad, idp, weights, mask,
+                     iterations_per_level, loss_kind: str = "huber",
+                     loss_scale=0.2):
+    """Coarse-to-fine over the event-frame morphological levels (the
+    reference's per-level max_num_iterations list; all levels share the
+    full camera resolution, EventFrame levels are blur variants)."""
+    result = None
+    n_levels = event_frames.shape[0]
+    for lvl in range(n_levels - 1, -1, -1):
+        its = iterations_per_level[min(lvl, len(iterations_per_level) - 1)]
+        result = optimize(state, event_frames[lvl], cam, norm_coord, grad,
+                          idp, weights, mask, max_iterations=its,
+                          loss_kind=loss_kind, loss_scale=loss_scale)
+        state = result.state
+        loss_scale = result.loss_scale
+    return result
+
+
+def pose_kf_ef(state: TrackerState) -> SE3:
+    """T_kf_ef = (T_ef_kf)^-1 (Tracker.cpp:217-221)."""
+    R = lie.quat_to_mat(state.qx)
+    return SE3(R, state.px).inverse()
+
+
+def warp_coords(state: TrackerState, cam: Pinhole, norm_coord, idp, mask):
+    """Project active points into the event frame; returns (uv_ef [P, 2],
+    alive mask) and the per-point track vectors relative to the KF pixel
+    (Tracker::getCoord, :319-376): out-of-frame points are flagged dead."""
+    z = 1.0 / (idp + 1e-5)
+    X = jnp.stack([norm_coord[:, 0] * z, norm_coord[:, 1] * z, z], axis=-1)
+    R = lie.quat_to_mat(state.qx)
+    p = X @ R.T + state.px[None, :]
+    xp = cam.fx * (p[:, 0] / p[:, 2]) + cam.cx
+    yp = cam.fy * (p[:, 1] / p[:, 2]) + cam.cy
+    alive = mask & (p[:, 2] > 1e-6) & (xp >= 0) & (xp <= cam.width - 1) \
+        & (yp >= 0) & (yp <= cam.height - 1)
+    uv = jnp.stack([xp, yp], axis=-1)
+    return uv, alive
+
+
+def mean_flow_magnitude(uv_ef, uv_kf, mask):
+    """Mean squared per-point displacement — the KF trigger statistic
+    (needNewKeyframe, Tracker.cpp:650-654)."""
+    d = uv_ef - uv_kf
+    d2 = jnp.sum(d * d, axis=-1)
+    m = mask.astype(d2.dtype)
+    return jnp.sum(d2 * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+class PoseFilter(NamedTuple):
+    """Ring buffer of recent pose tangents for the Lie-mean smoother
+    (SE3MW, src/tracking/Types.hpp:81-147 / getFilteredPose)."""
+    taus: jax.Array   # [W, 6]
+    count: jax.Array  # number of valid entries
+    head: jax.Array
+
+
+def pose_filter_init(window: int, dtype=jnp.float32) -> PoseFilter:
+    return PoseFilter(jnp.zeros((window, 6), dtype), jnp.asarray(0),
+                      jnp.asarray(0))
+
+
+def pose_filter_push(f: PoseFilter, T: SE3) -> PoseFilter:
+    W = f.taus.shape[0]
+    taus = f.taus.at[f.head].set(T.log())
+    return PoseFilter(taus, jnp.minimum(f.count + 1, W), (f.head + 1) % W)
+
+
+def pose_filter_mean(f: PoseFilter) -> SE3:
+    W = f.taus.shape[0]
+    m = (jnp.arange(W) < f.count).astype(f.taus.dtype)
+    mean = jnp.sum(f.taus * m[:, None], axis=0) / jnp.maximum(
+        jnp.sum(m), 1.0)
+    return SE3.exp(mean)
