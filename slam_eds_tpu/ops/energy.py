@@ -393,17 +393,29 @@ class SolveResult(NamedTuple):
 
 
 def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
-                use_orth: bool = True) -> SolveResult:
+                use_orth: bool = True, axis_name: str | None = None
+                ) -> SolveResult:
     """Damped Schur solve of the assembled system + marginalization prior +
     frame/calib priors; back-substitute point idepth steps.
-    (solveSystemF + resubstituteF, with the FIX_LAMBDA default.)"""
+    (solveSystemF + resubstituteF, with the FIX_LAMBDA default.)
+
+    axis_name: when running under shard_map with the POINT axis sharded,
+    the per-shard partial H/b/Schur terms are psum-reduced over this mesh
+    axis (the distributed reduction of SURVEY §2.5/§7: each shard owns a
+    block of points; the reduced [4+8F] camera system rides the ICI
+    collectives while the solve itself is replicated). Frame state and
+    priors must be replicated across the axis.
+    """
     D = state.dim
     F = state.num_frames
     dtype = asm.H.dtype
 
-    # priors
+    # reduce the point-partial top system across shards
     H = asm.H
     b = asm.b
+    if axis_name is not None:
+        H = jax.lax.psum(H, axis_name)
+        b = jax.lax.psum(b, axis_name)
     c_prior = jnp.full((CPARS,), 5e9, dtype) * jnp.asarray(
         state.c_zero > 0, dtype)  # calib prior (setting_initialCalibHessian)
     H = H + jnp.diag(jnp.concatenate([c_prior, jnp.zeros(8 * F, dtype)]))
@@ -425,6 +437,9 @@ def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
     Vw = asm.V * (active_pt.astype(dtype) / Hdd_l)[:, None]
     H_sc = Vw.T @ asm.V
     b_sc = Vw.T @ asm.bd
+    if axis_name is not None:
+        H_sc = jax.lax.psum(H_sc, axis_name)
+        b_sc = jax.lax.psum(b_sc, axis_name)
 
     H_f = H + lam * jnp.diag(jnp.diagonal(H)) - H_sc
     b_f = b - b_sc
@@ -514,7 +529,8 @@ def fej_recentered_residuals(state: BAState, lin: Linearization):
 
 def marginalize_points(state: BAState, lin: Linearization,
                        marg_weight: float = 0.25,
-                       idepth_prior_marg_fac: float = 360000.0) -> BAState:
+                       idepth_prior_marg_fac: float = 360000.0,
+                       axis_name: str | None = None) -> BAState:
     """Schur-marginalize all PT_MARGINALIZE points into HM/bM
     (marginalizePointsF): HM += w*(M - Msc) with FEJ-recentered residuals;
     afterwards the slots are freed."""
@@ -529,8 +545,16 @@ def marginalize_points(state: BAState, lin: Linearization,
     Vw = asm.V * Hdd_i[:, None]
     M_sc = Vw.T @ asm.V
     b_sc = Vw.T @ asm.bd
-    HM = state.HM + marg_weight * (asm.H - M_sc)
-    bM = state.bM + marg_weight * (asm.b - b_sc)
+    H_top, b_top = asm.H, asm.b
+    if axis_name is not None:
+        # single deterministic reduce keeps HM/bM identical on all shards
+        # (SURVEY §5 marginalization-consistency requirement)
+        H_top = jax.lax.psum(H_top, axis_name)
+        b_top = jax.lax.psum(b_top, axis_name)
+        M_sc = jax.lax.psum(M_sc, axis_name)
+        b_sc = jax.lax.psum(b_sc, axis_name)
+    HM = state.HM + marg_weight * (H_top - M_sc)
+    bM = state.bM + marg_weight * (b_top - b_sc)
     HM = 0.5 * (HM + HM.T)
     new_status = jnp.where(marg, 0, state.p_status)
     new_ract = state.r_active & ~marg[:, None]
