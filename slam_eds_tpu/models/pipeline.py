@@ -1,0 +1,271 @@
+"""End-to-end pipelines: the frame-only DSO slice and the full EDS loop.
+
+The reference ships no main loop (the orogen task is external, SURVEY §0);
+these drivers reproduce its reconstructed call stacks (SURVEY §3):
+
+* ``FrameOnlyPipeline`` — BASELINE config 1: two-view bootstrap -> coarse
+  tracking of every frame against the newest KF -> keyframe promotion ->
+  immature tracing -> point activation -> sliding-window photometric BA
+  with point/frame marginalization (call stack §3.3).
+* ``EDSPipeline`` — config 3: the event front-end (§3.1: event frame ->
+  event-to-model alignment -> depth filter -> KF promotion) running against
+  keyframes produced and refined by the frame backend.
+
+Host Python owns sequencing (inherently serial, mirroring the external
+task); every numeric step is a jitted kernel.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import EDSConfig
+from ..utils.cameras import Pinhole
+from ..utils.lie import SE3
+from ..utils import klt
+from ..utils import image as image_ops
+from ..ops import initializer, event_tracker as et, depth_filter as df
+from ..ops.pixel_selector import candidate_points_grid
+from . import keyframe as kfm
+from .event_frame import create_event_frame
+from .window import WindowManager
+from ..telemetry import Telemetry
+
+
+@dataclass
+class FrameOnlyPipeline:
+    cam: Pinhole
+    cfg: EDSConfig = field(default_factory=EDSConfig)
+
+    def __post_init__(self):
+        self.window = WindowManager(self.cam, self.cfg)
+        self.trajectory: List[np.ndarray] = []   # camToWorld translations
+        self.poses: List[SE3] = []               # worldToCam per frame
+        self.telemetry = Telemetry()
+        self._boot_img = None
+        self._boot_time = None
+        self._initialized = False
+        self._last_pose = SE3.identity()
+        self._frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+    def _bootstrap(self, img0, t0, img1, t1) -> bool:
+        """Two-view bootstrap (KLT tracks + batched-RANSAC essential matrix,
+        reference path B, KeyFrame::initialStructure)."""
+        g0 = jnp.asarray(img0, jnp.float32)
+        g1 = jnp.asarray(img1, jnp.float32)
+        gx, gy = image_ops.sobel(g0, 3)
+        gmag = image_ops.gradient_magnitude(gx, gy)
+        uv0, mask = candidate_points_grid(gmag, patch=8, capacity=512)
+        pyr0 = [l[..., 0] for l in image_ops.build_pyramid(g0, 3)[0]]
+        pyr1 = [l[..., 0] for l in image_ops.build_pyramid(g1, 3)[0]]
+        uv1, ok, _ = klt.klt_track_pyramid(pyr0, pyr1, uv0)
+        m = mask & ok
+
+        nc0 = jnp.stack([(uv0[:, 0] - self.cam.cx) / self.cam.fx,
+                         (uv0[:, 1] - self.cam.cy) / self.cam.fy], -1)
+        nc1 = jnp.stack([(uv1[:, 0] - self.cam.cx) / self.cam.fx,
+                         (uv1[:, 1] - self.cam.cy) / self.cam.fy], -1)
+        res = initializer.bootstrap_eight_point(nc0, nc1, m)
+        if not bool(res.success):
+            return False
+
+        # seed: frame 0 at identity, frame 1 at recovered unit-baseline pose
+        seed_uv = uv0
+        seed_idp = res.idepth
+        seed_mask = res.inliers
+        self.window.insert_frame(img0, SE3.identity(), t0, is_first=True,
+                                 immature_seed=(seed_uv, seed_idp, seed_mask))
+        self.window.insert_frame(img1, res.T_21, t1,
+                                 immature_seed=None)
+        self.window.trace_all(self.window.newest_slot)
+        self.window.activate_points()
+        self.window.optimize()
+        self.window.rebuild_coarse_template()
+        self._last_pose = res.T_21
+        self.poses = [SE3.identity(), res.T_21]
+        self.trajectory = [np.zeros(3),
+                           np.asarray(res.T_21.inverse().t)]
+        self._initialized = True
+        return True
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img, time: float):
+        """Feed one grayscale frame; returns the worldToCam pose estimate."""
+        if not self._initialized:
+            if self._boot_img is None:
+                self._boot_img = img
+                self._boot_time = time
+                self.poses = [SE3.identity()]
+                self.trajectory = [np.zeros(3)]
+                return SE3.identity()
+            ok = self._bootstrap(self._boot_img, self._boot_time, img, time)
+            if not ok:
+                # keep waiting with the newest frame as bootstrap anchor
+                self._boot_img = img
+                self._boot_time = time
+                return SE3.identity()
+            return self._last_pose
+
+        res, T_wc = self.window.track_frame(img, self._last_pose)
+        self.telemetry.frame(ok=bool(res.ok))
+        self._last_pose = T_wc
+        self.poses.append(T_wc)
+        self.trajectory.append(np.asarray(T_wc.inverse().t))
+        self._frames_since_kf += 1
+
+        make_kf = self.window.need_new_kf(res) or \
+            self._frames_since_kf >= self.cfg.bundles.min_frames
+        if make_kf:
+            self._add_keyframe(img, T_wc, time, res)
+            self._frames_since_kf = 0
+        return T_wc
+
+    def _add_keyframe(self, img, T_wc: SE3, time: float, track_res):
+        w = self.window
+        if w.num_active_frames >= w.cfg.caps.max_window_frames:
+            # should not happen (marginalization keeps a free slot)
+            pass
+        slot = w.insert_frame(img, T_wc, time,
+                              aff=tuple(np.asarray(track_res.aff)))
+        w.trace_all(slot)
+        w.activate_points()
+        e, lin = w.optimize()
+        self.telemetry.ba(energy=e)
+        w.flag_and_marginalize(lin)
+        w.rebuild_coarse_template()
+        # tracking reference pose may have been refined by BA
+        st = w.state
+        T = st.current_poses()
+        self._last_pose = SE3(T.R[w.newest_slot], T.t[w.newest_slot])
+
+    # ------------------------------------------------------------------
+    def positions(self):
+        return np.stack(self.trajectory)
+
+
+@dataclass
+class EDSPipeline:
+    """Full event-aided loop: the event front-end tracks pose against the
+    newest keyframe's generative model at packet rate; frames keep the DSO
+    backend (window BA) alive and provide keyframe images."""
+    cam: Pinhole
+    cfg: EDSConfig = field(default_factory=EDSConfig)
+
+    def __post_init__(self):
+        self.frame_pipe = FrameOnlyPipeline(self.cam, self.cfg)
+        self.kf: Optional[kfm.KeyFrame] = None
+        self.depth: Optional[df.DepthFilterState] = None
+        self.tracker_state = et.initial_tracker_state()
+        self.loss_scale = self.cfg.tracker.loss.param
+        self.pose_filter = et.pose_filter_init(
+            self.cfg.tracker.pose_filter_window)
+        self.event_poses: List[np.ndarray] = []   # (time, camToWorld t)
+        self.event_pose_list: List[SE3] = []
+        self.telemetry = Telemetry()
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img, time: float):
+        T_wc = self.frame_pipe.process_frame(img, time)
+        if self.frame_pipe._initialized and self.kf is None:
+            self._make_event_keyframe(img, time, T_wc)
+        return T_wc
+
+    def _make_event_keyframe(self, img, time: float, T_wc: SE3):
+        """Create the EDS keyframe (KeyFrame::create + Tracker::reset),
+        seeding depth from the BA map when available."""
+        w = self.frame_pipe.window
+        st = w.state
+        active = np.asarray(st.p_status) == 1
+        depth_map = None
+        if active.sum() > 16:
+            # project BA points into this keyframe as the seed map
+            T = st.current_poses()
+            host = st.p_host
+            Th = SE3(T.R[host], T.t[host])
+            x = (st.p_uv[:, 0] - self.cam.cx) / self.cam.fx
+            y = (st.p_uv[:, 1] - self.cam.cy) / self.cam.fy
+            z = 1.0 / jnp.maximum(st.p_idepth, 1e-6)
+            Xw = Th.inverse().apply(jnp.stack([x * z, y * z, z], -1))
+            Xk = T_wc.apply(Xw)
+            u = self.cam.fx * Xk[:, 0] / Xk[:, 2] + self.cam.cx
+            v = self.cam.fy * Xk[:, 1] / Xk[:, 2] + self.cam.cy
+            ok = jnp.asarray(active) & (Xk[:, 2] > 1e-6)
+            depth_map = (jnp.stack([u, v], -1),
+                         1.0 / jnp.maximum(Xk[:, 2], 1e-6), ok)
+        self.kf = kfm.create_keyframe(
+            img, self.cam, capacity=self.cfg.caps.max_points_per_kf,
+            percent_points=self.cfg.keyframe.percent_points,
+            selection_mode=self.cfg.keyframe.selection_mode,
+            log_eps=self.cfg.keyframe.log_eps,
+            sobel_ksize=self.cfg.keyframe.sobel_ksize,
+            depth_map=depth_map,
+            init_depth=0.5 * (self.cfg.mapping.min_depth
+                              + self.cfg.mapping.max_depth),
+            T_w_kf=T_wc.inverse(), time=time)
+        self.depth = df.init_from_prior(self.kf.idepth,
+                                        self.cfg.mapping.min_depth,
+                                        self.cfg.mapping.max_depth,
+                                        self.cfg.mapping.init_a,
+                                        self.cfg.mapping.init_b)
+        # keep velocity across keyframes (Tracker::reset keep_velo)
+        self.tracker_state = self.tracker_state._replace(
+            px=jnp.zeros(3), qx=jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+
+    # ------------------------------------------------------------------
+    def process_events(self, packet, fwd_maps=None):
+        """Feed one event packet (EventPacket). Returns worldToCam pose of
+        the event frame, or None before initialization."""
+        if self.kf is None:
+            return None
+        ef = create_event_frame(
+            jnp.asarray(packet.xs), jnp.asarray(packet.ys),
+            jnp.asarray(packet.ts), jnp.asarray(packet.polarity),
+            jnp.asarray(packet.n_valid),
+            self.cam.height, self.cam.width,
+            num_levels=self.cfg.event_frame.num_levels,
+            fwd_maps=fwd_maps)
+        kf = self.kf
+        res = et.optimize_pyramid(
+            self.tracker_state, ef.frames, self.cam,
+            kf.norm_coord, kf.grad, kf.idepth, kf.weight, kf.mask,
+            iterations_per_level=self.cfg.tracker.max_iterations,
+            loss_kind=self.cfg.tracker.loss.kind,
+            loss_scale=self.loss_scale)
+        self.tracker_state = res.state
+        if self.cfg.tracker.loss.scale_estimator == "mad":
+            self.loss_scale = float(res.loss_scale)
+        self.telemetry.event_solve(n_iter=int(res.n_iter),
+                                   energy=float(res.energy))
+
+        # pose: T_kf_ef smoothed by the Lie-mean filter
+        T_kf_ef = et.pose_kf_ef(res.state)
+        self.pose_filter = et.pose_filter_push(self.pose_filter, T_kf_ef)
+        T_kf_ef_s = et.pose_filter_mean(self.pose_filter)
+        T_w_ef = kf.pose.compose(T_kf_ef_s)   # camToWorld of event frame
+        self.event_poses.append(np.asarray(T_w_ef.t))
+        self.event_pose_list.append(T_w_ef.inverse())
+
+        # track update + depth filter (call stack §3.1)
+        uv_ef, alive = et.warp_coords(res.state, self.cam, kf.norm_coord,
+                                      kf.idepth, kf.mask)
+        tracks = uv_ef - kf.uv
+        self.depth = df.update(self.depth, T_kf_ef, kf.uv, tracks, self.cam,
+                               mu_range=(self.cfg.mapping.max_depth
+                                         - self.cfg.mapping.min_depth),
+                               px_noise=self.cfg.mapping.px_noise,
+                               mask=alive)
+        self.kf = kf._replace(mask=alive, track=tracks,
+                              residual=res.residuals,
+                              idepth=self.depth.mu)
+
+        # KF-need from flow magnitude / point loss
+        flow = float(et.mean_flow_magnitude(uv_ef, kf.uv, alive))
+        if flow > self.cfg.tracker.kf_flow_threshold ** 2 or \
+                bool(kfm.need_new_kf(self.kf,
+                                     self.cfg.keyframe.kf_point_loss_percent)):
+            self._pending_kf = True
+        return T_w_ef.inverse()

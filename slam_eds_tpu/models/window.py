@@ -1,0 +1,419 @@
+"""Sliding-window manager: the host-side orchestration of the DSO backend.
+
+The reference's driver layer is external (SURVEY §0 L7 — the orogen task
+owns frame flow); this module is its TPU-native equivalent for the BA
+window: slot allocation, keyframe insertion, immature-point bookkeeping,
+point activation, marginalization policy, and coarse-tracker template
+refresh. Control decisions (which slot, how many points) run in host numpy;
+all numerical work stays in the jitted kernels (ops.energy, ops.immature,
+ops.coarse_tracker).
+
+Policy notes vs. the reference:
+* frame marginalization keeps the newest frames and drops frames whose
+  point support fell below ``min_points_remaining`` (setting_
+  minPointsRemaining) — falling back to the oldest frame; DSO's pairwise
+  distance score (which lives in the external FullSystem, not in this
+  repo) is a TODO refinement.
+* point flags follow PointHessian::isOOB/isInlierNew (HessianBlocks.h:
+  474-506): points of a dying frame are marginalized if well-constrained,
+  dropped otherwise; points with too few residuals are dropped.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import EDSConfig
+from ..utils.cameras import Pinhole
+from ..utils.lie import SE3
+from ..utils import image as image_ops
+from ..ops import energy, immature, pixel_selector
+from ..ops import coarse_tracker as ct
+from . import ba_state as bs
+
+
+@dataclass
+class WindowManager:
+    cam: Pinhole
+    cfg: EDSConfig
+    state: bs.BAState = None
+    images: jnp.ndarray = None          # [F, H, W, 3]
+    pyramids: list = None               # per-slot list of per-level stacks
+    immatures: list = None              # per-slot ImmaturePoints or None
+    frame_times: list = field(default_factory=list)
+    frame_ids: list = field(default_factory=list)   # global id per slot (-1 empty)
+    next_id: int = 0
+    coarse_templates: list = None       # templates for newest KF
+    newest_slot: int = -1
+
+    def __post_init__(self):
+        F = self.cfg.caps.max_window_frames
+        P = self.cfg.caps.max_points_per_kf
+        calib = jnp.asarray([self.cam.fx, self.cam.fy, self.cam.cx,
+                             self.cam.cy], jnp.float32)
+        if self.state is None:
+            self.state = bs.empty_state(F, P, calib)
+        H, W = self.cam.height, self.cam.width
+        self.images = jnp.zeros((F, H, W, 3), jnp.float32)
+        self.immatures = [None] * F
+        self.frame_ids = [-1] * F
+        self.frame_times = [0.0] * F
+
+    # ------------------------------------------------------------------
+    @property
+    def num_active_frames(self):
+        return int(np.sum(np.asarray(self.state.frame_valid)))
+
+    def _free_slot(self) -> int:
+        fv = np.asarray(self.state.frame_valid)
+        free = np.where(~fv)[0]
+        assert len(free) > 0, "window full — marginalize first"
+        return int(free[0])
+
+    def _pyramid(self, img):
+        levels, _ = image_ops.build_pyramid(jnp.asarray(img, jnp.float32),
+                                            self.cfg.coarse.pyr_levels)
+        return levels
+
+    # ------------------------------------------------------------------
+    def insert_frame(self, img, T_wc: SE3, time: float, aff=(0.0, 0.0),
+                     exposure: float = 1.0, is_first: bool = False,
+                     immature_seed=None) -> int:
+        """Insert a new keyframe into a free slot (EnergyFunctional::
+        insertFrame). Sets the FEJ evaluation point to the given pose and
+        spawns immature points from the pixel selector."""
+        slot = self._free_slot()
+        pyr = self._pyramid(img)
+        self.pyramids = self.pyramids or [None] * self.state.num_frames
+        self.pyramids[slot] = pyr
+        self.images = self.images.at[slot].set(pyr[0])
+        self.frame_ids[slot] = self.next_id
+        self.frame_times[slot] = time
+        self.next_id += 1
+
+        st = self.state
+        prior = np.zeros(8, np.float32)
+        if is_first:
+            prior[:3] = self.cfg.bundles.initial_trans_prior
+            prior[3:6] = self.cfg.bundles.initial_rot_prior
+        if self.cfg.bundles.affine_opt_mode_a > 0:
+            prior[6] = self.cfg.bundles.affine_opt_mode_a
+        if self.cfg.bundles.affine_opt_mode_b > 0:
+            prior[7] = self.cfg.bundles.affine_opt_mode_b
+        self.state = st._replace(
+            T_eval=SE3(st.T_eval.R.at[slot].set(T_wc.R),
+                       st.T_eval.t.at[slot].set(T_wc.t)),
+            aff_eval=st.aff_eval.at[slot].set(jnp.asarray(aff, jnp.float32)),
+            delta=st.delta.at[slot].set(0.0),
+            exposure=st.exposure.at[slot].set(exposure),
+            frame_prior=st.frame_prior.at[slot].set(jnp.asarray(prior)),
+            frame_prior_delta0=st.frame_prior_delta0.at[slot].set(0.0),
+            frame_valid=st.frame_valid.at[slot].set(True),
+            frame_energy_th=st.frame_energy_th.at[slot].set(1e8),
+        )
+        self.newest_slot = slot
+        self._spawn_immature(slot, immature_seed)
+        return slot
+
+    def _spawn_immature(self, slot: int, seed_depth=None):
+        """Select candidate pixels on the new KF and create immature points
+        (FullSystem::makeNewTraces equivalent; density from config)."""
+        pyr = self.pyramids[slot]
+        abs_sq = [jnp.sum(l[..., 1:3] ** 2, -1) for l in pyr[:3]]
+        status, n_sel, _ = pixel_selector.make_maps(
+            pyr[0], abs_sq, density=self.cfg.selector.desired_immature_density,
+            pot_initial=self.cfg.selector.potential_initial,
+            rounds=self.cfg.selector.adaptation_rounds)
+        cap = self.cfg.caps.max_immature_per_kf
+        uv, _, mask = pixel_selector.status_to_points(status, abs_sq[0], cap)
+        if seed_depth is not None:
+            # EDS seeding: idepth from an external depth map +-10%
+            # (ImmaturePoint.cpp:68-114)
+            from .keyframe import nn_depth_lookup
+            idp, _ = nn_depth_lookup(uv, *seed_depth)
+            pts = immature.make_immature(pyr[0], uv, mask)
+            pts = pts._replace(idepth_min=jnp.maximum(idp * 0.9, 1e-4),
+                               idepth_max=idp * 1.1)
+        else:
+            pts = immature.make_immature(pyr[0], uv, mask)
+        self.immatures[slot] = pts
+
+    # ------------------------------------------------------------------
+    def _pair_krki_kt_aff(self, host_slot: int, target_slot: int):
+        """K R K^-1, K t, relative affine for host->target at current state."""
+        T = self.state.current_poses()
+        Th = SE3(T.R[host_slot], T.t[host_slot])
+        Tt = SE3(T.R[target_slot], T.t[target_slot])
+        T_th = Tt.compose(Th.inverse())
+        K = self.cam.K
+        Kinv = jnp.linalg.inv(K)
+        KRKi = K @ T_th.R @ Kinv
+        Kt = K @ T_th.t
+        a_rel, b_rel = energy.relative_affine(self.state, use_zero=False)
+        aff = jnp.stack([a_rel[host_slot, target_slot],
+                         b_rel[host_slot, target_slot]])
+        return KRKi, Kt, aff
+
+    def trace_all(self, target_slot: int):
+        """traceOn all immature points of every other frame against the
+        target frame (FullSystem::traceNewCoarse equivalent)."""
+        H, W = self.cam.height, self.cam.width
+        tgt = self.pyramids[target_slot][0]
+        for slot in range(self.state.num_frames):
+            if slot == target_slot or self.immatures[slot] is None:
+                continue
+            if not bool(self.state.frame_valid[slot]):
+                continue
+            KRKi, Kt, aff = self._pair_krki_kt_aff(slot, target_slot)
+            self.immatures[slot] = immature.trace_on(
+                self.immatures[slot], tgt, KRKi, Kt, aff, W, H,
+                huber_th=self.cfg.bundles.huber_th,
+                energy_th=8 * self.cfg.immature.outlier_th,
+                max_pix_search_frac=self.cfg.immature.max_pix_search)
+
+    # ------------------------------------------------------------------
+    def activate_points(self, max_new: Optional[int] = None):
+        """Promote well-traced immature points into free BA point slots
+        (FullSystem::activatePointsMT equivalent: GOOD/SKIPPED status,
+        quality above threshold, tight relative interval)."""
+        st = self.state
+        free = np.where(np.asarray(st.p_status) == bs.PT_EMPTY)[0]
+        budget = len(free) if max_new is None else min(len(free), max_new)
+        if budget == 0:
+            return 0
+
+        total = 0
+        F = st.num_frames
+        target_mask = st.frame_valid
+        for slot in range(F):
+            pts = self.immatures[slot]
+            if pts is None or not bool(st.frame_valid[slot]):
+                continue
+            status = np.asarray(pts.status)
+            quality = np.asarray(pts.quality)
+            lo = np.asarray(pts.idepth_min)
+            hi = np.asarray(pts.idepth_max)
+            mask = np.asarray(pts.mask)
+            good = mask & np.isin(status, [immature.IPS_GOOD,
+                                           immature.IPS_SKIPPED])
+            good &= quality > self.cfg.immature.min_trace_quality
+            good &= np.isfinite(hi) & (hi > 0) & ((hi + lo) > 0)
+            cand = np.where(good)[0]
+            if len(cand) == 0:
+                continue
+            take = cand[: budget - total]
+            if len(take) == 0:
+                break
+            # idepth refinement against all window frames
+            KRKis, Kts, affs = [], [], []
+            for t in range(F):
+                KRKi, Kt, aff = self._pair_krki_kt_aff(slot, t)
+                KRKis.append(KRKi)
+                Kts.append(Kt)
+                affs.append(aff)
+            idp_all, e_all = immature.activate_idepth(
+                pts, self.images, jnp.stack(KRKis), jnp.stack(Kts),
+                jnp.stack(affs),
+                target_mask & (jnp.arange(F) != slot),
+                gn_iterations=self.cfg.immature.gn_its_on_activation)
+            idp_np = np.asarray(idp_all)
+
+            # pattern colors/weights in the host image
+            pyr0 = self.pyramids[slot][0]
+            uv_t = pts.uv[jnp.asarray(take)]
+            offs = jnp.asarray(image_ops.PATTERN_DSO8, jnp.float32)
+            from ..utils.interp import bilinear_3
+            hit = bilinear_3(pyr0, uv_t[:, 0:1] + offs[None, :, 0],
+                             uv_t[:, 1:2] + offs[None, :, 1])
+            colors = hit[..., 0]
+            g2 = jnp.sum(hit[..., 1:3] ** 2, -1)
+            w = jnp.sqrt(self.cfg.bundles.outlier_th_sum_component
+                         / (self.cfg.bundles.outlier_th_sum_component + g2))
+
+            dst = jnp.asarray(free[total: total + len(take)])
+            idp_new = jnp.maximum(jnp.asarray(idp_np[take]), 1e-4)
+            self.state = self.state._replace(
+                p_host=self.state.p_host.at[dst].set(slot),
+                p_uv=self.state.p_uv.at[dst].set(uv_t),
+                p_idepth=self.state.p_idepth.at[dst].set(idp_new),
+                p_idepth_zero=self.state.p_idepth_zero.at[dst].set(idp_new),
+                p_color=self.state.p_color.at[dst].set(colors),
+                p_weight=self.state.p_weight.at[dst].set(w),
+                p_prior=self.state.p_prior.at[dst].set(0.0),
+                p_status=self.state.p_status.at[dst].set(bs.PT_ACTIVE),
+                r_active=self.state.r_active.at[dst].set(
+                    target_mask & (jnp.arange(F) != slot)),
+            )
+            # consume the immature slots
+            m = np.array(pts.mask)   # writable copy
+            m[take] = False
+            self.immatures[slot] = pts._replace(mask=jnp.asarray(m))
+            total += len(take)
+            if total >= budget:
+                break
+        return total
+
+    # ------------------------------------------------------------------
+    def optimize(self, iterations: Optional[int] = None):
+        """Run the window BA (ba_iterate)."""
+        H, W = self.cam.height, self.cam.width
+        its = iterations or self.cfg.bundles.max_opt_iterations
+        self.state, e, lin = energy.ba_iterate(
+            self.state, self.images, H, W, iterations=its,
+            lam=self.cfg.bundles.fix_lambda,
+            huber_th=self.cfg.bundles.huber_th,
+            outlier_th_sum=self.cfg.bundles.outlier_th_sum_component,
+            orth_from_iteration=self.cfg.bundles.orthogonalize_x_from_it)
+        # refresh per-frame outlier thresholds from the residual statistics
+        self._update_energy_th(lin)
+        return float(e), lin
+
+    def _update_energy_th(self, lin):
+        """Per-frame energy threshold from the quantile of active residual
+        energies (setNewFrameEnergyTH analog; reference driver-side)."""
+        e = np.asarray(lin.energy)
+        v = np.asarray(lin.valid)
+        th = np.asarray(self.state.frame_energy_th).copy()
+        for f in range(self.state.num_frames):
+            ef = e[:, f][v[:, f]]
+            if len(ef) > 16:
+                q = np.quantile(np.sqrt(ef), self.cfg.bundles.frame_energy_th_n)
+                t = (q * self.cfg.bundles.frame_energy_th_fac_median) ** 2
+                w = self.cfg.bundles.frame_energy_th_const_weight
+                th[f] = w * t + (1 - w) * th[f] if np.isfinite(th[f]) \
+                    else t
+                th[f] = max(th[f], 8 * self.cfg.bundles.huber_th ** 2)
+        self.state = self.state._replace(frame_energy_th=jnp.asarray(th))
+
+    # ------------------------------------------------------------------
+    def flag_and_marginalize(self, lin):
+        """Point flagging + frame marginalization policy. Runs after BA."""
+        st = self.state
+        F = st.num_frames
+        valid_np = np.asarray(lin.valid)
+        n_res = valid_np.sum(axis=1)
+        status = np.asarray(st.p_status)
+        host = np.asarray(st.p_host)
+        active = status == bs.PT_ACTIVE
+
+        # choose a frame to marginalize if above the window budget
+        slots = [s for s in range(F) if bool(st.frame_valid[s])]
+        marg_slot = None
+        if len(slots) > self.cfg.bundles.window_size:
+            support = {s: (active & (host == s)).sum() for s in slots}
+            initial = {s: max((status == bs.PT_ACTIVE)[host == s].size, 1)
+                       for s in slots}
+            # don't marginalize the two newest
+            by_age = sorted(slots, key=lambda s: self.frame_ids[s])
+            candidates = by_age[:-2] if len(by_age) > 2 else by_age[:1]
+            weak = [s for s in candidates
+                    if support[s] < self.cfg.bundles.percent_marginalize_vis
+                    * max(initial[s], 1) * 0.05]
+            marg_slot = weak[0] if weak else candidates[0]
+
+        # point flags
+        new_status = status.copy()
+        drop = active & (n_res < 2)
+        new_status[drop] = bs.PT_DROP
+        if marg_slot is not None:
+            of_frame = active & (host == marg_slot)
+            # well-constrained points of the dying frame -> marginalize,
+            # poorly-constrained -> drop (isOOB/isInlierNew split)
+            new_status[of_frame & (n_res >= 2)] = bs.PT_MARGINALIZE
+            new_status[of_frame & (n_res < 2)] = bs.PT_DROP
+
+        # drops: just free the slots
+        dropped = new_status == bs.PT_DROP
+        new_status[dropped] = bs.PT_EMPTY
+        st = st._replace(p_status=jnp.asarray(new_status),
+                         r_active=st.r_active
+                         & ~jnp.asarray(dropped)[:, None])
+        self.state = st
+
+        H, W = self.cam.height, self.cam.width
+        if (np.asarray(self.state.p_status) == bs.PT_MARGINALIZE).any():
+            lin2 = energy.linearize(self.state, self.images, H, W,
+                                    huber_th=self.cfg.bundles.huber_th)
+            self.state = energy.marginalize_points(
+                self.state, lin2,
+                marg_weight=self.cfg.bundles.marg_weight_fac,
+                idepth_prior_marg_fac=self.cfg.bundles.idepth_fix_prior_marg_fac)
+
+        if marg_slot is not None:
+            self.state = energy.marginalize_frame(self.state, marg_slot)
+            self.immatures[marg_slot] = None
+            self.frame_ids[marg_slot] = -1
+        return marg_slot
+
+    # ------------------------------------------------------------------
+    def rebuild_coarse_template(self):
+        """Project active points into the newest KF and rebuild the coarse
+        tracking templates (CoarseTracker::setCoarseTrackingRef)."""
+        st = self.state
+        slot = self.newest_slot
+        T = st.current_poses()
+        T_new = SE3(T.R[slot], T.t[slot])
+        active = (st.p_status == bs.PT_ACTIVE)
+        # project each point into the newest frame
+        host = st.p_host
+        Th = SE3(T.R[host], T.t[host])
+        x = (st.p_uv[:, 0] - self.cam.cx) / self.cam.fx
+        y = (st.p_uv[:, 1] - self.cam.cy) / self.cam.fy
+        z = 1.0 / jnp.maximum(st.p_idepth, 1e-6)
+        X_h = jnp.stack([x * z, y * z, z], -1)
+        X_w = Th.inverse().apply(X_h)
+        X_n = T_new.apply(X_w)
+        u = self.cam.fx * X_n[:, 0] / X_n[:, 2] + self.cam.cx
+        v = self.cam.fy * X_n[:, 1] / X_n[:, 2] + self.cam.cy
+        idn = 1.0 / jnp.maximum(X_n[:, 2], 1e-6)
+        ok = active & (X_n[:, 2] > 1e-6) & (u > 1) & (v > 1) \
+            & (u < self.cam.width - 2) & (v < self.cam.height - 2)
+        uv = jnp.stack([u, v], -1)
+        caps = [min(8192 >> l, max(1,
+                (self.cam.height >> l) * (self.cam.width >> l)))
+                for l in range(self.cfg.coarse.pyr_levels)]
+        self.coarse_templates = ct.build_template(
+            uv, idn, jnp.ones_like(idn), ok, self.pyramids[slot], caps)
+
+    def track_frame(self, img, pose_init: SE3, aff_init=(0.0, 0.0),
+                    exposure: float = 1.0):
+        """Coarse-track a non-KF frame against the newest keyframe.
+        Returns (TrackResult, T_wc of the frame)."""
+        pyr = self._pyramid(img)
+        cams = [Pinhole(self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
+                        self.cam.width, self.cam.height).pyramid_level(l)
+                for l in range(self.cfg.coarse.pyr_levels)]
+        st = self.state
+        slot = self.newest_slot
+        T = st.current_poses()
+        T_kf = SE3(T.R[slot], T.t[slot])
+        ref_to_new = pose_init.compose(T_kf.inverse())
+        aff_kf = st.current_aff()[slot]
+        res = ct.track_newest_coarse(
+            self.coarse_templates, pyr, cams, ref_to_new,
+            jnp.asarray(aff_init, jnp.float32),
+            (st.exposure[slot], jnp.asarray(exposure, jnp.float32)), aff_kf,
+            min_res_for_abort=jnp.full((self.cfg.coarse.pyr_levels,), 1e9,
+                                       jnp.float32),
+            max_iterations=self.cfg.coarse.max_iterations,
+            huber_th=self.cfg.coarse.huber_th,
+            cutoff_th=self.cfg.coarse.coarse_cutoff_th)
+        T_wc = res.pose.compose(T_kf)
+        return res, T_wc
+
+    def need_new_kf(self, track_res) -> bool:
+        """DSO keyframe decision from flow indicators + affine change
+        (setting_maxShiftWeight*, settings.cpp:38-42)."""
+        w, h = self.cam.width, self.cam.height
+        fi = np.asarray(track_res.flow_indicators)
+        a = np.asarray(track_res.aff)
+        wT = 0.04 * (640 + 480) / (w + h)
+        wRT = 0.02 * (640 + 480) / (w + h)
+        score = (wT * np.sqrt(max(fi[0], 0.0))
+                 + wRT * np.sqrt(max(fi[2], 0.0))
+                 + 2.0 * abs(np.log(np.exp(a[0]))))
+        return bool(score > 1.0)

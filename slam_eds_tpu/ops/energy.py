@@ -484,7 +484,8 @@ def apply_step(state: BAState, sol: SolveResult,
                           p_idepth=new_idepth)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "iterations"))
+@partial(jax.jit, static_argnames=("height", "width", "iterations",
+                                   "orth_from_iteration"))
 def ba_iterate(state: BAState, target_images, height: int, width: int,
                iterations: int = 6, lam: float = 1e-5,
                huber_th: float = 9.0, outlier_th_sum: float = 2500.0,
