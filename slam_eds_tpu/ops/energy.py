@@ -460,9 +460,10 @@ def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
     x = svec_i * jnp.linalg.solve(Hs + 1e-10 * jnp.eye(D, dtype=dtype), bs)
     x = jnp.where(act, x, 0.0)
 
-    if use_orth:
-        N = nullspaces(state)
-        x = orthogonalize(x, N)
+    # gauge projection; use_orth may be a traced bool (ORTHOGONALIZE_X_LATER
+    # turns it on from iteration 2) — the N svd is [D, 7], negligible.
+    N = nullspaces(state)
+    x = jnp.where(jnp.asarray(use_orth), orthogonalize(x, N), x)
 
     # back-substitution: delta_d = (V.x - bd)/Hdd_lambda
     step_d = jnp.where(active_pt, (asm.V @ x - asm.bd) / Hdd_l, 0.0)
@@ -492,14 +493,21 @@ def ba_iterate(state: BAState, target_images, height: int, width: int,
                orth_from_iteration: int = 2):
     """Run fixed GN iterations (setting_maxOptIterations=6 with
     FIX_LAMBDA, forceAcceptStep — no step rejection in the reference's
-    default solver mode). Returns (state, final_energy, lin)."""
-    for it in range(iterations):
-        lin = linearize(state, target_images, height, width,
+    default solver mode). Returns (state, final_energy, lin).
+
+    The iteration is a lax.fori_loop so the (large) GN body compiles once;
+    the late-start nullspace orthogonalization (ORTHOGONALIZE_X_LATER)
+    becomes a traced select on the iteration index.
+    """
+    def body(it, st):
+        lin = linearize(st, target_images, height, width,
                         huber_th=huber_th, outlier_th_sum=outlier_th_sum)
-        asm = assemble(state, lin)
-        sol = solve_delta(state, asm, lam=lam,
+        asm = assemble(st, lin)
+        sol = solve_delta(st, asm, lam=lam,
                           use_orth=(it >= orth_from_iteration))
-        state = apply_step(state, sol)
+        return apply_step(st, sol)
+
+    state = jax.lax.fori_loop(0, iterations, body, state)
     lin = linearize(state, target_images, height, width, huber_th=huber_th,
                     outlier_th_sum=outlier_th_sum)
     energy = jnp.sum(lin.energy)
