@@ -12,11 +12,19 @@ therefore iters_per_s / 30.0 until a measured reference run replaces it.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the BA step is a large XLA program; caching its
+# executable makes fresh-process bench runs start in seconds instead of
+# recompiling (first-ever run still pays the compile).
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_problem():

@@ -71,14 +71,18 @@ def ba_iterate_sharded(state: BAState, target_images, mesh: Mesh,
              out_specs=(specs, P()),
              check_vma=False)
     def run(st: BAState, images):
-        for it in range(iterations):
-            lin = energy.linearize(st, images, height, width,
+        # fori_loop: the GN body (the big program) compiles once; use_orth
+        # becomes a traced select on the iteration index (as in ba_iterate)
+        def body(it, s):
+            lin = energy.linearize(s, images, height, width,
                                    huber_th=huber_th)
-            asm = energy.assemble(st, lin)
-            sol = energy.solve_delta(st, asm, lam=lam,
+            asm = energy.assemble(s, lin)
+            sol = energy.solve_delta(s, asm, lam=lam,
                                      use_orth=(it >= orth_from_iteration),
                                      axis_name=AXIS)
-            st = energy.apply_step(st, sol)
+            return energy.apply_step(s, sol)
+
+        st = jax.lax.fori_loop(0, iterations, body, st)
         lin = energy.linearize(st, images, height, width, huber_th=huber_th)
         e = jax.lax.psum(jnp.sum(lin.energy), AXIS)
         return st, e
