@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..utils import lie
 from ..utils.lie import SE3
 from ..utils.cameras import Pinhole
-from ..utils.interp import bicubic
+from ..utils.interp import bicubic, bicubic_with_grad
 from ..utils.stats import (huber_weight, cauchy_weight, masked_mad,
                            masked_mean_std, HUBER_K)
 
@@ -94,6 +94,95 @@ def event_residuals(state: TrackerState, event_frame, cam: Pinhole,
     return jnp.where(mask, r, 0.0)
 
 
+def interaction_matrix(norm_coord, idp):
+    """L [P, 2, 6] with flow = L @ v (compute_flow is linear in the 6-dof
+    velocity; PhotometricError.hpp:114-122 rows written out)."""
+    x = norm_coord[:, 0]
+    y = norm_coord[:, 1]
+    z = jnp.zeros_like(x)
+    row_x = jnp.stack([-idp, z, x * idp, x * y, -(1.0 + x * x), y], axis=-1)
+    row_y = jnp.stack([z, -idp, y * idp, (1.0 + y * y), -x * y, -x], axis=-1)
+    return jnp.stack([row_x, row_y], axis=-2)
+
+
+def event_residuals_and_jac(state: TrackerState, event_frame, cam: Pinhole,
+                            norm_coord, grad, idp, weights, mask,
+                            norm_eps: float = 1e-3,
+                            axis_name: str | None = None):
+    """Residuals [P] + analytic Jacobian [P, 12] wrt the local increment
+    (translation additive, quaternion left exp-map, velocity normalized
+    addition) — the hand-derived replacement for forward-mode autodiff
+    (SURVEY §7 "the hard parts": the model/||model|| normalization couples
+    all residuals; its Jacobian is the rank-1-corrected A/||m|| term below).
+
+    r_i = w_i * (m_i/||m|| - E(pi(R X_i + px)))  with  m = A v,
+    A_i = -(L_i^T g_i) from the interaction matrix (linear in v), and
+    ||m|| = sqrt(eps + m.m):
+
+    * d(m/||m||)/dv  = (A - (m/||m||) (m^T A)/||m||) / ||m||, then projected
+      through the unit-norm retraction (I - v v^T) (UnitNormVectorAddition's
+      tangent at delta=0).
+    * d r/d(px, q)   = -w * grad(E) . dpi . d(R X + px)/d(delta) with
+      d/dpx = I, d/d(dq) = -[R X]_x (left perturbation), and grad(E) the
+      analytic bicubic spatial gradient.
+    """
+    P = norm_coord.shape[0]
+    dtype = norm_coord.dtype
+    maskf = mask.astype(dtype)
+
+    # ---- model branch (velocity block)
+    L = interaction_matrix(norm_coord, idp)                  # [P, 2, 6]
+    A = -jnp.einsum("pgx,pg->px", L, grad)                   # [P, 6]
+    A = A * maskf[:, None]
+    v = state.vx
+    m = A @ v                                                # [P]
+    # the norm and m^T A couple ALL residuals: under a sharded point axis
+    # they are the two global reductions (one psum each)
+    m2 = jnp.sum(m * m)
+    mTA = m @ A                                              # [6]
+    if axis_name is not None:
+        m2 = jax.lax.psum(m2, axis_name)
+        mTA = jax.lax.psum(mTA, axis_name)
+    norm = jnp.sqrt(norm_eps + m2)
+    mh = m / norm
+    Jv = (A - mh[:, None] * (mTA / norm)[None, :]) / norm
+    Jv = Jv @ (jnp.eye(6, dtype=dtype) - jnp.outer(v, v))
+
+    # ---- event-frame branch (pose block)
+    z = 1.0 / (idp + 1e-5)
+    X = jnp.stack([norm_coord[:, 0] * z, norm_coord[:, 1] * z, z], axis=-1)
+    R = lie.quat_to_mat(state.qx)
+    RX = X @ R.T                                             # [P, 3]
+    p = RX + state.px[None, :]
+    inv_z = 1.0 / p[:, 2]
+    xp = cam.fx * (p[:, 0] * inv_z) + cam.cx
+    yp = cam.fy * (p[:, 1] * inv_z) + cam.cy
+    ev, dEdx, dEdy = bicubic_with_grad(event_frame, xp, yp)
+
+    # dpi/dp [P, 2, 3]
+    du = jnp.stack([cam.fx * inv_z, jnp.zeros_like(inv_z),
+                    -cam.fx * p[:, 0] * inv_z * inv_z], axis=-1)
+    dv_ = jnp.stack([jnp.zeros_like(inv_z), cam.fy * inv_z,
+                     -cam.fy * p[:, 1] * inv_z * inv_z], axis=-1)
+    gE = dEdx[:, None] * du + dEdy[:, None] * dv_            # [P, 3] dE/dp
+    # translation block: -w * gE ; rotation block: -w * gE @ (-[RX]_x)
+    def skew(a):
+        zz = jnp.zeros_like(a[:, 0])
+        return jnp.stack([
+            jnp.stack([zz, -a[:, 2], a[:, 1]], -1),
+            jnp.stack([a[:, 2], zz, -a[:, 0]], -1),
+            jnp.stack([-a[:, 1], a[:, 0], zz], -1)], axis=-2)
+
+    Jt = -gE                                                  # [P, 3]
+    Jq = jnp.einsum("pi,pij->pj", gE, skew(RX))               # [P, 3]
+
+    w = weights * maskf
+    r = w * (mh - ev)
+    J = jnp.concatenate([w[:, None] * Jt, w[:, None] * Jq,
+                         w[:, None] * Jv], axis=-1)           # [P, 12]
+    return jnp.where(mask, r, 0.0), jnp.where(mask[:, None], J, 0.0)
+
+
 def _apply_local(state: TrackerState, delta):
     """12-dof local update: translation additive, quaternion exp-map,
     velocity normalized addition."""
@@ -140,8 +229,11 @@ def optimize(state: TrackerState, event_frame, cam: Pinhole,
     zero = jnp.zeros(12, dtype)
 
     def body(c: _Carry):
-        r = res_of_delta(zero, c.state)
-        J = jax.jacfwd(res_of_delta)(zero, c.state)     # [P, 12]
+        # analytic residual+Jacobian (event_residuals_and_jac docstring);
+        # forward-mode autodiff of the residual vector is kept as the test
+        # oracle but is ~12x the work and compiles poorly on TPU
+        r, J = event_residuals_and_jac(c.state, event_frame, cam,
+                                       norm_coord, grad, idp, weights, mask)
         w = jax.lax.stop_gradient(robust_weights(r)) * mask
         H = (J * w[:, None]).T @ J
         g = (J * w[:, None]).T @ r

@@ -101,8 +101,10 @@ def optimize_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
         zero = jnp.zeros(12, dtype)
 
         def body(c: _Carry):
-            r = res_of(zero, c.state)
-            J = jax.jacfwd(res_of)(zero, c.state)          # [P_shard, 12]
+            # analytic residual+Jacobian with the two norm couplings
+            # psum-reduced inside (event_residuals_and_jac axis_name path)
+            r, J = et.event_residuals_and_jac(c.state, ef, cam, nc, gr, ip,
+                                              w_pt, mk, axis_name=AXIS)
             w = jax.lax.stop_gradient(robust_w(r)) * mk
             H = jax.lax.psum((J * w[:, None]).T @ J, AXIS)
             g = jax.lax.psum((J * w[:, None]).T @ r, AXIS)

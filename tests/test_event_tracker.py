@@ -155,3 +155,46 @@ def test_mad_loss_scale_updates(rng):
                       jnp.ones_like(idp, bool), max_iterations=3)
     assert float(res.loss_scale) > 0
     assert np.isfinite(float(res.energy))
+
+
+def test_analytic_jacobian_matches_autodiff():
+    """event_residuals_and_jac vs jacfwd of the residual vector through the
+    local parameterization — must agree to float tolerance (the autodiff
+    path is the oracle; the analytic one is what optimize() runs)."""
+    import jax
+    import numpy as np
+    from slam_eds_tpu.utils.cameras import Pinhole
+
+    H, W, P = 48, 64, 40
+    cam = Pinhole(jnp.float32(60.0), jnp.float32(60.0),
+                  jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+    rng = np.random.default_rng(3)
+    ef = jnp.asarray(rng.normal(size=(H, W)) * 0.05, jnp.float32)
+    nc = jnp.asarray(np.stack(
+        [(rng.uniform(8, W - 8, P) - float(cam.cx)) / float(cam.fx),
+         (rng.uniform(8, H - 8, P) - float(cam.cy)) / float(cam.fy)], -1),
+        jnp.float32)
+    grad = jnp.asarray(rng.normal(size=(P, 2)) * 12, jnp.float32)
+    idp = jnp.asarray(rng.uniform(0.4, 1.2, P), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 1.0, P), jnp.float32)
+    mask = jnp.asarray(rng.random(P) > 0.15)
+
+    # a non-trivial linearization point
+    st0 = et.initial_tracker_state()
+    st = et._apply_local(st0, jnp.asarray(
+        rng.uniform(-0.05, 0.05, 12), jnp.float32))
+
+    r_an, J_an = et.event_residuals_and_jac(st, ef, cam, nc, grad, idp, w,
+                                            mask)
+
+    def res_of(delta):
+        return et.event_residuals(et._apply_local(st, delta), ef, cam, nc,
+                                  grad, idp, w, mask)
+
+    zero = jnp.zeros(12, jnp.float32)
+    r_ad = res_of(zero)
+    J_ad = jax.jacfwd(res_of)(zero)
+
+    np.testing.assert_allclose(np.asarray(r_an), np.asarray(r_ad), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                               atol=2e-4, rtol=2e-3)
