@@ -36,16 +36,28 @@ def event_time_weights(n_valid, capacity, dtype=jnp.float32):
 
 
 def scatter_accumulate(xs, ys, values, height: int, width: int,
-                       mask=None, method: str = "bilinear"):
+                       mask=None, method: str = "bilinear",
+                       use_pallas: bool | None = None):
     """Accumulate per-event ``values`` into an [H, W] image.
 
     bilinear: 4-tap scatter with out-of-image taps zero-weighted (matching
     drawValuesPoints' per-tap bounds checks, Utils.cpp:92-106).
     nn: rounds to nearest pixel with clamping (Utils.cpp:74-81).
+
+    On TPU the bilinear path dispatches to the Pallas matmul-scatter kernel
+    (ops/pallas/raster.py) — XLA scatter-adds serialize on TPU, while the
+    one-hot outer-product formulation rides the MXU. ``use_pallas`` forces
+    the choice (None = auto by backend).
     """
     dtype = values.dtype
     if mask is not None:
         values = jnp.where(mask, values, jnp.zeros_like(values))
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and method == "bilinear":
+        from ..ops.pallas.raster import rasterize_bilinear
+        return rasterize_bilinear(xs, ys, values, height, width).astype(dtype)
 
     if method == "nn":
         ix = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, width - 1)
