@@ -43,7 +43,8 @@ class EventTrackerConfig:
     max_iterations: Tuple[int, ...] = (10, 10, 20)
     num_levels: int = 3
     function_tolerance: float = 1e-6
-    bootstrap: str = "eight_points"   # eight_points | midas (depth-map seeding)
+    # eight_points | dso (pyramid joint pose+idepth init) | midas (depth seed)
+    bootstrap: str = "eight_points"
     # pose smoothing window (SE3MW size, src/tracking/Types.hpp:81-147)
     pose_filter_window: int = 5
     # KF trigger from mean flow magnitude (Tracker.cpp:650-654)

@@ -47,6 +47,7 @@ class FrameOnlyPipeline:
         self.telemetry = Telemetry()
         self._boot_img = None
         self._boot_time = None
+        self._init_state = None      # DSO-style CoarseInitializer state
         self._initialized = False
         self._last_pose = SE3.identity()
         self._frames_since_kf = 0
@@ -93,9 +94,50 @@ class FrameOnlyPipeline:
         return True
 
     # ------------------------------------------------------------------
+    def _bootstrap_dso(self, img, time: float) -> bool:
+        """DSO-style pyramid initializer (reference path A,
+        src/init/CoarseInitializer.cpp via ops.coarse_init): accumulate
+        frames until the joint pose+idepth solve 'snaps', then seed the
+        window from the level-0 structure."""
+        from ..ops import coarse_init as ci
+        n_lvl = self.cfg.initializer.pyr_levels
+        pyr, _ = image_ops.build_pyramid(jnp.asarray(img, jnp.float32),
+                                         n_lvl)
+        if self._init_state is None:
+            self._init_state = ci.set_first(pyr)
+            self._boot_img = img
+            self._boot_time = time
+            return False
+        self._init_state, done = ci.track_frame(self._init_state, pyr,
+                                                self.cam)
+        if not done:
+            return False
+        T_10, uv0, idp0, okm = ci.extract_result(self._init_state)
+        self.window.insert_frame(self._boot_img, SE3.identity(),
+                                 self._boot_time, is_first=True,
+                                 immature_seed=(uv0, idp0, okm))
+        self.window.insert_frame(img, T_10, time, immature_seed=None)
+        self.window.trace_all(self.window.newest_slot)
+        self.window.activate_points()
+        self.window.optimize()
+        self.window.rebuild_coarse_template()
+        self._last_pose = T_10
+        self.poses = [SE3.identity(), T_10]
+        self.trajectory = [np.zeros(3), np.asarray(T_10.inverse().t)]
+        self._initialized = True
+        return True
+
+    # ------------------------------------------------------------------
     def process_frame(self, img, time: float):
         """Feed one grayscale frame; returns the worldToCam pose estimate."""
         if not self._initialized:
+            if self.cfg.tracker.bootstrap == "dso":
+                ok = self._bootstrap_dso(img, time)
+                if not ok:
+                    self.poses = self.poses or [SE3.identity()]
+                    self.trajectory = self.trajectory or [np.zeros(3)]
+                    return SE3.identity()
+                return self._last_pose
             if self._boot_img is None:
                 self._boot_img = img
                 self._boot_time = time

@@ -176,15 +176,61 @@ class WindowManager:
                 max_pix_search_frac=self.cfg.immature.max_pix_search)
 
     # ------------------------------------------------------------------
+    def _activation_distance_map(self):
+        """Level-1 distance map from the projections of all active points
+        into the newest keyframe (CoarseDistanceMap::makeDistanceMap,
+        reference src/tracking/CoarseTracker.cpp:703+)."""
+        from ..ops import distance_map as dmap
+        st = self.state
+        H, W = self.cam.height, self.cam.width
+        active = np.asarray(st.p_status) == bs.PT_ACTIVE
+        uvs = np.asarray(st.p_uv)
+        proj = np.array(uvs)
+        if self.newest_slot >= 0:
+            idp = np.asarray(st.p_idepth)
+            hosts = np.asarray(st.p_host)
+            for slot in range(st.num_frames):
+                sel = (hosts == slot) & active
+                if slot == self.newest_slot or not sel.any():
+                    continue
+                KRKi, Kt, _ = self._pair_krki_kt_aff(slot, self.newest_slot)
+                xyz = (np.asarray(KRKi) @ np.stack(
+                    [uvs[sel, 0], uvs[sel, 1], np.ones(sel.sum())])).T \
+                    + np.asarray(Kt)[None, :] * idp[sel, None]
+                proj[sel, 0] = xyz[:, 0] / np.maximum(xyz[:, 2], 1e-6)
+                proj[sel, 1] = xyz[:, 1] / np.maximum(xyz[:, 2], 1e-6)
+        return dmap.coarse_distance_map(jnp.asarray(proj) * 0.5,
+                                        jnp.asarray(active),
+                                        H // 2, W // 2, max_dist=40)
+
     def activate_points(self, max_new: Optional[int] = None):
         """Promote well-traced immature points into free BA point slots
         (FullSystem::activatePointsMT equivalent: GOOD/SKIPPED status,
-        quality above threshold, tight relative interval)."""
+        quality above threshold, tight relative interval). Candidates are
+        gated + ranked by the coarse distance map so activation stays
+        spatially distributed, with the activation distance adapting to the
+        active-point count (DSO's currentMinActivationDistance policy)."""
+        from ..ops import distance_map as dmap
         st = self.state
         free = np.where(np.asarray(st.p_status) == bs.PT_EMPTY)[0]
         budget = len(free) if max_new is None else min(len(free), max_new)
         if budget == 0:
             return 0
+
+        # adapt the min activation distance to current point density:
+        # DSO steps currentMinActivationDistance +-0.8/KF toward an
+        # equilibrium in [0, 4]; we map the density ratio there directly
+        # (same fixed point, reached immediately), so sparse windows are
+        # never gated and saturated windows spread spatially.
+        n_active = int((np.asarray(st.p_status) == bs.PT_ACTIVE).sum())
+        desired = self.cfg.selector.desired_point_density
+        ratio = n_active / max(desired, 1.0)
+        # the reference's [0, 4] L1-pixel range is tuned for 640-wide
+        # images; scale the spacing with resolution
+        res_scale = self.cam.width / 640.0
+        self.min_act_dist = float(np.clip(4.0 * (ratio - 0.4) / 0.6,
+                                          0.0, 4.0)) * res_scale
+        dist_map = self._activation_distance_map()
 
         total = 0
         F = st.num_frames
@@ -205,6 +251,22 @@ class WindowManager:
             cand = np.where(good)[0]
             if len(cand) == 0:
                 continue
+            # spatial gate + ranking by distance-map value in the newest KF
+            uv_c = np.asarray(pts.uv)[cand]
+            idp_c = 0.5 * (lo[cand] + hi[cand])
+            if slot != self.newest_slot and self.newest_slot >= 0:
+                KRKi, Kt, _ = self._pair_krki_kt_aff(slot, self.newest_slot)
+                xyz = (np.asarray(KRKi) @ np.stack(
+                    [uv_c[:, 0], uv_c[:, 1], np.ones(len(cand))])).T \
+                    + np.asarray(Kt)[None, :] * idp_c[:, None]
+                uv_c = xyz[:, :2] / np.maximum(xyz[:, 2:3], 1e-6)
+            d_c = np.asarray(dmap.sample_distance(
+                dist_map, jnp.asarray(uv_c * 0.5, jnp.float32)))
+            # gate only (DSO gates on the distance, selection order stays
+            # the selector's gradient-quality order)
+            spaced = d_c >= self.min_act_dist
+            if spaced.any():
+                cand = cand[spaced]
             take = cand[: budget - total]
             if len(take) == 0:
                 break

@@ -75,8 +75,15 @@ def compute_flow(norm_coord, vx, idp):
 
 def event_residuals(state: TrackerState, event_frame, cam: Pinhole,
                     norm_coord, grad, idp, weights, mask,
-                    norm_eps: float = 1e-3):
-    """The full residual vector [P] (masked lanes -> 0)."""
+                    norm_eps: float = 1e-3, norm_event: bool = False):
+    """The full residual vector [P] (masked lanes -> 0).
+
+    norm_event=False: PhotometricError — ``event_frame`` is pre-normalized
+    (Frobenius) and sampled directly.
+    norm_event=True: PhotometricErrorNC (src/tracking/PhotometricErrorNC.hpp
+    :151-186) — ``event_frame`` is the RAW accumulation and the sampled
+    values are normalized by their own l2 norm, mirroring the model side.
+    """
     flow = compute_flow(norm_coord, state.vx, idp)
     model = -(grad[:, 0] * flow[:, 0] + grad[:, 1] * flow[:, 1])
     model = jnp.where(mask, model, 0.0)
@@ -90,6 +97,9 @@ def event_residuals(state: TrackerState, event_frame, cam: Pinhole,
     xp = cam.fx * (p[:, 0] / p[:, 2]) + cam.cx
     yp = cam.fy * (p[:, 1] / p[:, 2]) + cam.cy
     ev = bicubic(event_frame, xp, yp)
+    if norm_event:
+        ev = jnp.where(mask, ev, 0.0)
+        ev = ev / jnp.sqrt(norm_eps + jnp.sum(ev * ev))
     r = weights * (model / model_norm - ev)
     return jnp.where(mask, r, 0.0)
 
@@ -108,7 +118,8 @@ def interaction_matrix(norm_coord, idp):
 def event_residuals_and_jac(state: TrackerState, event_frame, cam: Pinhole,
                             norm_coord, grad, idp, weights, mask,
                             norm_eps: float = 1e-3,
-                            axis_name: str | None = None):
+                            axis_name: str | None = None,
+                            norm_event: bool = False):
     """Residuals [P] + analytic Jacobian [P, 12] wrt the local increment
     (translation additive, quaternion left exp-map, velocity normalized
     addition) — the hand-derived replacement for forward-mode autodiff
@@ -173,13 +184,30 @@ def event_residuals_and_jac(state: TrackerState, event_frame, cam: Pinhole,
             jnp.stack([a[:, 2], zz, -a[:, 0]], -1),
             jnp.stack([-a[:, 1], a[:, 0], zz], -1)], axis=-2)
 
-    Jt = -gE                                                  # [P, 3]
-    Jq = jnp.einsum("pi,pij->pj", gE, skew(RX))               # [P, 3]
+    # dev/d(t, dq) [P, 6]
+    D = jnp.concatenate([gE, -jnp.einsum("pi,pij->pj", gE, skew(RX))],
+                        axis=-1) * maskf[:, None]
+
+    if norm_event:
+        # NC variant: E-side normalization adds its own rank-1 coupling,
+        # d(ev/||ev||)/dth = D/||ev|| - (ev/||ev||) (ev^T D)/||ev||^2
+        ev = ev * maskf
+        e2 = jnp.sum(ev * ev)
+        s = ev @ D                                            # [6] global
+        if axis_name is not None:
+            e2 = jax.lax.psum(e2, axis_name)
+            s = jax.lax.psum(s, axis_name)
+        en = jnp.sqrt(norm_eps + e2)
+        eh = ev / en
+        Jpose = -(D / en - eh[:, None] * (s / (en * en))[None, :])
+        ev_term = eh
+    else:
+        Jpose = -D
+        ev_term = ev
 
     w = weights * maskf
-    r = w * (mh - ev)
-    J = jnp.concatenate([w[:, None] * Jt, w[:, None] * Jq,
-                         w[:, None] * Jv], axis=-1)           # [P, 12]
+    r = w * (mh - ev_term)
+    J = jnp.concatenate([w[:, None] * Jpose, w[:, None] * Jv], axis=-1)
     return jnp.where(mask, r, 0.0), jnp.where(mask[:, None], J, 0.0)
 
 
@@ -201,19 +229,23 @@ class _Carry(NamedTuple):
     done: jax.Array
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "loss_kind"))
+@partial(jax.jit, static_argnames=("max_iterations", "loss_kind",
+                                   "norm_event"))
 def optimize(state: TrackerState, event_frame, cam: Pinhole,
              norm_coord, grad, idp, weights, mask,
              max_iterations: int = 20, loss_kind: str = "huber",
-             loss_scale=0.2, function_tolerance: float = 1e-6) -> TrackerResult:
+             loss_scale=0.2, function_tolerance: float = 1e-6,
+             norm_event: bool = False) -> TrackerResult:
     """One pyramid-level solve (Tracker::optimize). Returns the optimized
-    state, final residuals, and the MAD-refreshed loss scale."""
+    state, final residuals, and the MAD-refreshed loss scale.
+    norm_event selects the PhotometricErrorNC cost (see event_residuals)."""
     dtype = norm_coord.dtype
     loss_scale = jnp.asarray(loss_scale, dtype)
 
     def res_of_delta(delta, st):
         return event_residuals(_apply_local(st, delta), event_frame, cam,
-                               norm_coord, grad, idp, weights, mask)
+                               norm_coord, grad, idp, weights, mask,
+                               norm_event=norm_event)
 
     def robust_weights(r):
         if loss_kind == "huber":
@@ -233,7 +265,8 @@ def optimize(state: TrackerState, event_frame, cam: Pinhole,
         # forward-mode autodiff of the residual vector is kept as the test
         # oracle but is ~12x the work and compiles poorly on TPU
         r, J = event_residuals_and_jac(c.state, event_frame, cam,
-                                       norm_coord, grad, idp, weights, mask)
+                                       norm_coord, grad, idp, weights, mask,
+                                       norm_event=norm_event)
         w = jax.lax.stop_gradient(robust_weights(r)) * mask
         H = (J * w[:, None]).T @ J
         g = (J * w[:, None]).T @ r
@@ -271,7 +304,7 @@ def optimize(state: TrackerState, event_frame, cam: Pinhole,
 def optimize_pyramid(state: TrackerState, event_frames, cam: Pinhole,
                      norm_coord, grad, idp, weights, mask,
                      iterations_per_level, loss_kind: str = "huber",
-                     loss_scale=0.2):
+                     loss_scale=0.2, norm_event: bool = False):
     """Coarse-to-fine over the event-frame morphological levels (the
     reference's per-level max_num_iterations list; all levels share the
     full camera resolution, EventFrame levels are blur variants)."""
@@ -281,7 +314,8 @@ def optimize_pyramid(state: TrackerState, event_frames, cam: Pinhole,
         its = iterations_per_level[min(lvl, len(iterations_per_level) - 1)]
         result = optimize(state, event_frames[lvl], cam, norm_coord, grad,
                           idp, weights, mask, max_iterations=its,
-                          loss_kind=loss_kind, loss_scale=loss_scale)
+                          loss_kind=loss_kind, loss_scale=loss_scale,
+                          norm_event=norm_event)
         state = result.state
         loss_scale = result.loss_scale
     return result

@@ -235,3 +235,49 @@ def gamma_inverse_table(gamma_values):
     # Binv[i] = value x such that B(x) = i (piecewise-linear inversion)
     binv = jnp.interp(xs, g, xs)
     return g, binv
+
+
+def optimal_k_crop(cam: CameraModel, out_w: int, out_h: int) -> Pinhole:
+    """Largest axis-aligned undistorted view fully covered by the input image
+    (the 'crop' mode of the reference's geometric undistorters,
+    src/utils/Undistort.{h,cpp} makeOptimalK_crop).
+
+    The input image border is sampled densely, undistorted to normalized
+    coords, and the output rectangle is shrunk to the inward-most border
+    coordinate per side — every output pixel then remaps from inside the
+    input (exact for monotone radial models; DSO's binary search converges
+    to the same rectangle).
+    """
+    import numpy as np
+    pin = cam.pinhole
+    n = 512
+    # border pixel samples, one array per side
+    xs = np.linspace(0, pin.width - 1, n, dtype=np.float32)
+    ys = np.linspace(0, pin.height - 1, n, dtype=np.float32)
+    sides = {
+        "left": np.stack([np.zeros(n, np.float32), ys], -1),
+        "right": np.stack([np.full(n, pin.width - 1, np.float32), ys], -1),
+        "top": np.stack([xs, np.zeros(n, np.float32)], -1),
+        "bottom": np.stack([xs, np.full(n, pin.height - 1, np.float32)], -1),
+    }
+
+    def undist_norm(uv):
+        x = (uv[:, 0] - float(pin.cx)) / float(pin.fx)
+        y = (uv[:, 1] - float(pin.cy)) / float(pin.fy)
+        xy = jnp.stack([jnp.asarray(x), jnp.asarray(y)], -1)
+        if cam.model != "none":
+            xy = _UNDISTORT[cam.model](xy, cam.D)
+        return np.asarray(xy)
+
+    b = {k: undist_norm(v) for k, v in sides.items()}
+    min_x = float(b["left"][:, 0].max())
+    max_x = float(b["right"][:, 0].min())
+    min_y = float(b["top"][:, 1].max())
+    max_y = float(b["bottom"][:, 1].min())
+
+    fx = (out_w - 1) / (max_x - min_x)
+    fy = (out_h - 1) / (max_y - min_y)
+    cx = -min_x * fx
+    cy = -min_y * fy
+    return Pinhole(jnp.float32(fx), jnp.float32(fy), jnp.float32(cx),
+                   jnp.float32(cy), out_w, out_h)

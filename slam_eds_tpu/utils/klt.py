@@ -179,3 +179,64 @@ def search_along_epiline(img_ref, img_new, uv0, line_dir, search_range,
         best_score = -jnp.min(score, axis=1)
     uv_best = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
     return uv_best, best_score
+
+
+# ---------------------------------------------------------------------------
+# 2-D template matching + epipolar geometry helpers
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("radius", "search_radius", "measure"))
+def match_template(img_ref, img_new, uv0, radius: int = 3,
+                   search_radius: int = 8, measure: str = "zncc"):
+    """Dense window search of each point's patch in the new image
+    (``eds::utils::matchTemplate``, reference src/utils/Utils.cpp:992-1024;
+    used by the patch-template variant of KeyFrame::trackPoints,
+    src/tracking/KeyFrame.cpp:980-1029).
+
+    Returns (uv_best [N, 2], best_score [N]); score is similarity (higher
+    better) for ncc/zncc and negated distance for the *sd/*ad measures.
+    """
+    T = extract_patches(img_ref, uv0, radius)
+    r = jnp.arange(-search_radius, search_radius + 1, dtype=uv0.dtype)
+    oy, ox = jnp.meshgrid(r, r, indexing="ij")
+    offs = jnp.stack([ox.ravel(), oy.ravel()], -1)           # [S, 2]
+    cand = uv0[:, None, :] + offs[None, :, :]                # [N, S, 2]
+    dx, dy = _patch_grid(radius, uv0.dtype)
+    P = bilinear(img_new, cand[..., 0:1] + dx[None, None, :],
+                 cand[..., 1:2] + dy[None, None, :])         # [N, S, K]
+    Tb = jnp.broadcast_to(T[:, None, :], P.shape)
+    if measure in ("zncc", "ncc"):
+        score = (zncc if measure == "zncc" else ncc)(Tb, P)
+        best = jnp.argmax(score, axis=1)
+        best_score = jnp.max(score, axis=1)
+    else:
+        fn = {"ssd": ssd, "zssd": zssd, "sad": sad, "zsad": zsad,
+              "nssd": nssd}[measure]
+        score = fn(Tb, P)
+        best = jnp.argmin(score, axis=1)
+        best_score = -jnp.min(score, axis=1)
+    uv_best = jnp.take_along_axis(cand, best[:, None, None], axis=1)[:, 0, :]
+    return uv_best, best_score
+
+
+def fundamental_from_pose(T_21, K):
+    """F = K^-T [t]x R K^-1 for the relative pose T_21 (target<-ref) —
+    the E/F construction the reference builds for its epipolar search
+    (``Tracker::trackPointsAlongEpiline`` helpers, Tracker.cpp:555-587)."""
+    t = T_21.t
+    tx = jnp.asarray([[0.0, -t[2], t[1]],
+                      [t[2], 0.0, -t[0]],
+                      [-t[1], t[0], 0.0]], t.dtype)
+    E = tx @ T_21.R
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+def epiline_directions(F, uv):
+    """Per-point epipolar line directions in the target image for ref
+    pixels uv [N, 2]: the line l = F [u, v, 1]^T has direction
+    (b, -a)/|(a, b)| — feed into ``search_along_epiline``."""
+    ones = jnp.ones_like(uv[:, :1])
+    l = jnp.concatenate([uv, ones], -1) @ F.T            # [N, 3]
+    d = jnp.stack([l[:, 1], -l[:, 0]], -1)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)

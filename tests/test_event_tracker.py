@@ -198,3 +198,65 @@ def test_analytic_jacobian_matches_autodiff():
     np.testing.assert_allclose(np.asarray(r_an), np.asarray(r_ad), atol=1e-6)
     np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
                                atol=2e-4, rtol=2e-3)
+
+
+def test_nc_jacobian_matches_autodiff():
+    """PhotometricErrorNC variant (norm_event=True): the E-side rank-1
+    normalization coupling must match forward-mode autodiff."""
+    H, W, P = 48, 64, 40
+    cam = Pinhole(jnp.float32(60.0), jnp.float32(60.0),
+                  jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+    rng = np.random.default_rng(7)
+    ef = jnp.asarray(rng.normal(size=(H, W)) * 4.0, jnp.float32)  # RAW frame
+    nc = jnp.asarray(np.stack(
+        [(rng.uniform(8, W - 8, P) - float(cam.cx)) / float(cam.fx),
+         (rng.uniform(8, H - 8, P) - float(cam.cy)) / float(cam.fy)], -1),
+        jnp.float32)
+    grad = jnp.asarray(rng.normal(size=(P, 2)) * 12, jnp.float32)
+    idp = jnp.asarray(rng.uniform(0.4, 1.2, P), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 1.0, P), jnp.float32)
+    mask = jnp.asarray(rng.random(P) > 0.15)
+
+    st = et._apply_local(et.initial_tracker_state(), jnp.asarray(
+        rng.uniform(-0.05, 0.05, 12), jnp.float32))
+
+    r_an, J_an = et.event_residuals_and_jac(st, ef, cam, nc, grad, idp, w,
+                                            mask, norm_event=True)
+
+    def res_of(delta):
+        return et.event_residuals(et._apply_local(st, delta), ef, cam, nc,
+                                  grad, idp, w, mask, norm_event=True)
+
+    zero = jnp.zeros(12, jnp.float32)
+    np.testing.assert_allclose(np.asarray(r_an), np.asarray(res_of(zero)),
+                               atol=5e-6)
+    J_ad = jax.jacfwd(res_of)(zero)
+    np.testing.assert_allclose(np.asarray(J_an), np.asarray(J_ad),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_nc_optimize_recovers_pose(rng):
+    """NC cost with the RAW (un-normalized) synthetic frame still recovers
+    the alignment: scale the frame arbitrarily — NC is scale-invariant."""
+    uv, nc, _, idp = make_points(rng)
+    vx = jnp.asarray([0.3, 0.1, -0.2, 0.05, -0.03, 0.08], jnp.float32)
+    vx = vx / jnp.linalg.norm(vx)
+    tau = jnp.asarray([0.02, -0.01, 0.015, 0.004, -0.003, 0.002], jnp.float32)
+    T_true = SE3.exp(tau)
+    img, grad = synth_event_frame(nc, None, idp, vx, T_true)
+    img_raw = img * 37.5   # arbitrary scale: NC normalizes the samples
+
+    st0 = et.TrackerState(
+        px=T_true.t + jnp.asarray([0.004, -0.003, 0.002], jnp.float32),
+        qx=lie.quat_normalize(lie.quat_mul(
+            lie.quat_exp(jnp.asarray([0.002, 0.001, -0.002], jnp.float32)),
+            lie.mat_to_quat(T_true.R))),
+        vx=vx)
+    w = jnp.ones((nc.shape[0],), jnp.float32)
+    mask = jnp.ones((nc.shape[0],), bool)
+    res = et.optimize(st0, img_raw, CAM, nc, grad, idp, w, mask,
+                      max_iterations=30, loss_kind="none",
+                      norm_event=True)
+    err_t = float(jnp.linalg.norm(res.state.px - T_true.t))
+    err0_t = float(jnp.linalg.norm(st0.px - T_true.t))
+    assert err_t < 0.5 * err0_t, (err_t, err0_t)

@@ -64,3 +64,69 @@ def test_epiline_search_finds_shift(rng):
     d = np.asarray(uv_best - uv)
     np.testing.assert_allclose(np.median(d[:, 0]), 3.0, atol=0.3)
     assert (np.asarray(score) > 0.8).mean() > 0.8
+
+
+def test_match_template_finds_shift(rng):
+    from slam_eds_tpu.utils.klt import match_template
+    H, W = 64, 80
+    img = rng.normal(size=(H, W)).astype(np.float32)
+    img = np.asarray(jnp.asarray(img))
+    # new image = ref shifted by integer (3, -2)
+    new = np.roll(np.roll(img, -2, axis=0), 3, axis=1)
+    uv0 = np.stack([rng.uniform(15, W - 15, 20),
+                    rng.uniform(15, H - 15, 20)], -1).astype(np.float32)
+    uv, score = match_template(jnp.asarray(img), jnp.asarray(new),
+                               jnp.asarray(uv0), radius=3, search_radius=6)
+    np.testing.assert_allclose(np.asarray(uv), uv0 + np.asarray([3.0, -2.0]),
+                               atol=1e-4)
+    assert np.all(np.asarray(score) > 0.95)
+
+
+def test_epiline_direction_consistent_with_projection(rng):
+    """Points along the epipolar line in the target must project from the
+    ref ray: check that warped points at different depths lie along the
+    returned direction."""
+    from slam_eds_tpu.utils.klt import fundamental_from_pose, \
+        epiline_directions
+    from slam_eds_tpu.utils.lie import SE3
+    fx = fy = 100.0
+    cx, cy = 40.0, 30.0
+    K = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+    T = SE3.exp(jnp.asarray([0.05, -0.02, 0.01, 0.01, -0.005, 0.02],
+                            jnp.float32))
+    uv = jnp.asarray([[45.0, 28.0], [30.0, 40.0]], jnp.float32)
+    F = fundamental_from_pose(T, K)
+    d = epiline_directions(F, uv)
+
+    # project the ray at two depths
+    for i in range(uv.shape[0]):
+        x = (uv[i, 0] - cx) / fx
+        y = (uv[i, 1] - cy) / fy
+        ps = []
+        for z in (2.0, 6.0):
+            X = jnp.asarray([x * z, y * z, z], jnp.float32)
+            Xw = T.R @ X + T.t
+            ps.append(np.asarray([float(fx * Xw[0] / Xw[2] + cx),
+                                  float(fy * Xw[1] / Xw[2] + cy)]))
+        seg = ps[1] - ps[0]
+        seg = seg / np.linalg.norm(seg)
+        cosang = abs(float(seg @ np.asarray(d[i])))
+        assert cosang > 0.999, (i, cosang)
+
+
+def test_optimal_k_crop_remaps_inside(rng):
+    from slam_eds_tpu.utils.cameras import (CameraModel, Pinhole,
+                                            optimal_k_crop,
+                                            undistortion_maps)
+    W, H = 128, 96
+    pin = Pinhole(jnp.float32(90.0), jnp.float32(90.0), jnp.float32(63.5),
+                  jnp.float32(47.5), W, H)
+    cam = CameraModel(pin, jnp.asarray([-0.28, 0.07, 0.0, 0.0], jnp.float32),
+                      "radtan")
+    out = optimal_k_crop(cam, W, H)
+    mx, my = undistortion_maps(cam, out)
+    mx, my = np.asarray(mx), np.asarray(my)
+    assert mx.min() >= -0.51 and mx.max() <= W - 0.49, (mx.min(), mx.max())
+    assert my.min() >= -0.51 and my.max() <= H - 0.49, (my.min(), my.max())
+    # and the crop should not be degenerate (covers most of the image)
+    assert float(out.fx) > 0.7 * 90.0
