@@ -165,6 +165,29 @@ def need_new_kf(kf: KeyFrame, percent_loss: float = 0.3):
     return alive < (1.0 - percent_loss) * kf.n_initial
 
 
+def kf_selection_occlusion(delta_pose: SE3, median_depth,
+                           threshold: float = 0.20):
+    """Occlusion criterion (keyframe_selection_occlusion,
+    src/utils/Utils.hpp:292-299): parallax ratio ||t|| / median_depth >
+    threshold."""
+    return jnp.linalg.norm(delta_pose.t) / median_depth > threshold
+
+
+def kf_selection_rotation(delta_pose: SE3,
+                          threshold: float = 0.174533 / 3.0):
+    """Rotation criterion (keyframe_selection_rotation,
+    src/utils/Utils.hpp:301-308): rotation angle of the delta pose >
+    threshold (default 5 deg / 3)."""
+    tau = delta_pose.log()
+    return jnp.linalg.norm(tau[3:]) > threshold
+
+
+def kf_selection_translation(delta_pose: SE3, threshold: float = 0.05):
+    """Translation criterion (keyframe_selection_translation,
+    src/utils/Utils.hpp:310-315): ||t|| > threshold (default 5 cm)."""
+    return jnp.linalg.norm(delta_pose.t) > threshold
+
+
 def sparse_model(kf: KeyFrame, vx, norm_eps: float = 1e-3):
     """Normalized brightness-change model per point:
     model_i = -(grad_i . flow_i) / ||model||  (getSparseModel,

@@ -96,3 +96,21 @@ def test_export_map(rng):
     xyz, color, mask = kfm.export_map(kf, CAM)
     z = np.asarray(xyz)[np.asarray(mask)][:, 2]
     np.testing.assert_allclose(z, 2.0, atol=1e-4)
+
+
+def test_kf_selection_criteria():
+    from slam_eds_tpu.utils.lie import SE3
+
+    small = SE3.exp(jnp.asarray([0.01, 0, 0, 0.01, 0, 0], jnp.float32))
+    big_t = SE3.exp(jnp.asarray([0.3, 0, 0, 0, 0, 0], jnp.float32))
+    big_r = SE3.exp(jnp.asarray([0, 0, 0, 0.2, 0, 0], jnp.float32))
+    # occlusion: ||t||/depth ratio (Utils.hpp:292-299)
+    assert not bool(kfm.kf_selection_occlusion(small, 1.0))
+    assert bool(kfm.kf_selection_occlusion(big_t, 1.0))
+    assert not bool(kfm.kf_selection_occlusion(big_t, 10.0))
+    # rotation: angle > 5deg/3 (Utils.hpp:301-308)
+    assert not bool(kfm.kf_selection_rotation(small))
+    assert bool(kfm.kf_selection_rotation(big_r))
+    # translation: ||t|| > 5cm (Utils.hpp:310-315)
+    assert not bool(kfm.kf_selection_translation(small))
+    assert bool(kfm.kf_selection_translation(big_t))
