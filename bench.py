@@ -69,21 +69,25 @@ def main():
 
     iters_per_call = 6
 
-    def step(state):
+    # NOTE: images must be a jit *argument*, not a closure capture — XLA's
+    # gather emitter is ~200x slower on closure-folded constants than on
+    # parameters (measured on v5e), and in the real pipeline the window
+    # images change every keyframe anyway.
+    def step(state, images):
         st, e, _ = energy.ba_iterate(state, images, H, W,
                                      iterations=iters_per_call)
         return st, e
 
     step_j = jax.jit(step)
     # warmup/compile
-    st, e = step_j(state)
+    st, e = step_j(state, images)
     jax.block_until_ready(st)
 
     n_calls = 10
     t0 = time.perf_counter()
     st = state
     for _ in range(n_calls):
-        st, e = step_j(st)
+        st, e = step_j(st, images)
     jax.block_until_ready(st)
     dt = time.perf_counter() - t0
 
