@@ -49,6 +49,9 @@ class EventTrackerConfig:
     pose_filter_window: int = 5
     # KF trigger from mean flow magnitude (Tracker.cpp:650-654)
     kf_flow_threshold: float = 3.0
+    # the event tracker is the system's between-frame tracker: seed the
+    # frame front-end's coarse alignment from the latest event pose
+    seed_frame_tracker: bool = True
 
 
 @dataclass(frozen=True)
@@ -187,6 +190,8 @@ class KeyFrameConfig:
     min_weight_clean: float = 0.7       # cleanPoints threshold (KeyFrame.cpp:451)
     kf_point_loss_percent: float = 0.3  # needNewKF (KeyFrame.cpp:1552-1557)
     kf_image_percent: float = 0.2       # needNewKFImageCriteria
+    points_refinement: bool = False     # drop event-inactive points per
+    refinement_activity_th: float = 1e-4  # packet (KeyFrame.cpp:1031-1058)
 
 
 @dataclass(frozen=True)

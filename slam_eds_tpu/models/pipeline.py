@@ -208,36 +208,75 @@ class EDSPipeline:
         self.event_poses: List[np.ndarray] = []   # (time, camToWorld t)
         self.event_pose_list: List[SE3] = []
         self.telemetry = Telemetry()
+        self._pending_kf = False
+        self.num_event_kfs = 0
 
     # ------------------------------------------------------------------
     def process_frame(self, img, time: float):
         T_wc = self.frame_pipe.process_frame(img, time)
-        if self.frame_pipe._initialized and self.kf is None:
+        if self.frame_pipe._initialized and (self.kf is None
+                                             or self._pending_kf):
             self._make_event_keyframe(img, time, T_wc)
+            self._pending_kf = False
         return T_wc
+
+    def _ba_seed_points(self, T_wc: SE3):
+        """Project the BA window's active points into the new keyframe
+        (sparse IDepthMap seed, mapping/Types.hpp IDepthMap-from-pointcloud
+        path). Returns (uv [P,2], idp [P], mask [P])."""
+        st = self.frame_pipe.window.state
+        active = np.asarray(st.p_status) == 1
+        if active.sum() <= 16:
+            return None
+        T = st.current_poses()
+        host = st.p_host
+        Th = SE3(T.R[host], T.t[host])
+        x = (st.p_uv[:, 0] - self.cam.cx) / self.cam.fx
+        y = (st.p_uv[:, 1] - self.cam.cy) / self.cam.fy
+        z = 1.0 / jnp.maximum(st.p_idepth, 1e-6)
+        Xw = Th.inverse().apply(jnp.stack([x * z, y * z, z], -1))
+        return self._project_seed(Xw, jnp.asarray(active), T_wc)
+
+    def _project_seed(self, Xw, ok, T_wc: SE3):
+        """World points -> (uv, idepth, mask) in the camera at T_wc."""
+        Xk = T_wc.apply(Xw)
+        u = self.cam.fx * Xk[:, 0] / jnp.maximum(Xk[:, 2], 1e-6) + self.cam.cx
+        v = self.cam.fy * Xk[:, 1] / jnp.maximum(Xk[:, 2], 1e-6) + self.cam.cy
+        ok = ok & (Xk[:, 2] > 1e-6) & (u >= 0) & (v >= 0) \
+            & (u <= self.cam.width - 1) & (v <= self.cam.height - 1)
+        return (jnp.stack([u, v], -1),
+                1.0 / jnp.maximum(Xk[:, 2], 1e-6), ok)
+
+    def _filter_seed_points(self, T_wc: SE3):
+        """Converged depth-filter points of the outgoing event keyframe,
+        transported into the new keyframe (the reference driver feeds the
+        tracker's refined depth map forward into KeyFrame::setDepthMap)."""
+        if self.kf is None or self.depth is None:
+            return None
+        kf = self.kf
+        mu_range = self.cfg.mapping.max_depth - self.cfg.mapping.min_depth
+        conv = df.converged(self.depth, mu_range,
+                            self.cfg.mapping.convergence_sigma2_thresh)
+        ok = kf.mask & conv
+        if int(np.asarray(jnp.sum(ok))) <= 16:
+            return None
+        z = 1.0 / jnp.maximum(self.depth.mu, 1e-6)
+        X = jnp.stack([kf.norm_coord[:, 0] * z,
+                       kf.norm_coord[:, 1] * z, z], -1)
+        Xw = kf.pose.apply(X)
+        return self._project_seed(Xw, ok, T_wc)
 
     def _make_event_keyframe(self, img, time: float, T_wc: SE3):
         """Create the EDS keyframe (KeyFrame::create + Tracker::reset),
-        seeding depth from the BA map when available."""
-        w = self.frame_pipe.window
-        st = w.state
-        active = np.asarray(st.p_status) == 1
+        seeding depth from the BA map + the previous keyframe's converged
+        depth-filter points (call stack SURVEY §3.2)."""
+        seeds = [s for s in (self._ba_seed_points(T_wc),
+                             self._filter_seed_points(T_wc))
+                 if s is not None]
         depth_map = None
-        if active.sum() > 16:
-            # project BA points into this keyframe as the seed map
-            T = st.current_poses()
-            host = st.p_host
-            Th = SE3(T.R[host], T.t[host])
-            x = (st.p_uv[:, 0] - self.cam.cx) / self.cam.fx
-            y = (st.p_uv[:, 1] - self.cam.cy) / self.cam.fy
-            z = 1.0 / jnp.maximum(st.p_idepth, 1e-6)
-            Xw = Th.inverse().apply(jnp.stack([x * z, y * z, z], -1))
-            Xk = T_wc.apply(Xw)
-            u = self.cam.fx * Xk[:, 0] / Xk[:, 2] + self.cam.cx
-            v = self.cam.fy * Xk[:, 1] / Xk[:, 2] + self.cam.cy
-            ok = jnp.asarray(active) & (Xk[:, 2] > 1e-6)
-            depth_map = (jnp.stack([u, v], -1),
-                         1.0 / jnp.maximum(Xk[:, 2], 1e-6), ok)
+        if seeds:
+            depth_map = tuple(jnp.concatenate([s[i] for s in seeds], 0)
+                              for i in range(3))
         self.kf = kfm.create_keyframe(
             img, self.cam, capacity=self.cfg.caps.max_points_per_kf,
             percent_points=self.cfg.keyframe.percent_points,
@@ -248,6 +287,12 @@ class EDSPipeline:
             init_depth=0.5 * (self.cfg.mapping.min_depth
                               + self.cfg.mapping.max_depth),
             T_w_kf=T_wc.inverse(), time=time)
+        if depth_map is not None:
+            # drop points whose NN depth association is distant
+            # (cleanPoints(0.7) after setDepthMap, KeyFrame.cpp:451)
+            self.kf = kfm.clean_points(
+                self.kf, self.cfg.keyframe.min_weight_clean)
+        self.num_event_kfs += 1
         self.depth = df.init_from_prior(self.kf.idepth,
                                         self.cfg.mapping.min_depth,
                                         self.cfg.mapping.max_depth,
@@ -303,8 +348,21 @@ class EDSPipeline:
         self.kf = kf._replace(mask=alive, track=tracks,
                               residual=res.residuals,
                               idepth=self.depth.mu)
+        if self.cfg.keyframe.points_refinement:
+            # drop points without nearby event activity
+            # (pointsRefinement, KeyFrame.cpp:1031-1058)
+            self.kf = kfm.points_refinement(
+                self.kf, ef.frames[0],
+                activity_threshold=self.cfg.keyframe.refinement_activity_th)
 
-        # KF-need from flow magnitude / point loss
+        # the event tracker is the between-frame tracker of the system:
+        # seed the frame front-end's next coarse track from its pose
+        if self.cfg.tracker.seed_frame_tracker:
+            self.frame_pipe._last_pose = T_w_ef.inverse()
+
+        # KF-need from flow magnitude / point loss (Tracker::needNewKeyframe
+        # + KeyFrame::needNewKF); consumed at the next frame arrival, which
+        # provides the new keyframe image (SURVEY §3.2)
         flow = float(et.mean_flow_magnitude(uv_ef, kf.uv, alive))
         if flow > self.cfg.tracker.kf_flow_threshold ** 2 or \
                 bool(kfm.need_new_kf(self.kf,

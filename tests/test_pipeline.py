@@ -67,3 +67,39 @@ def test_eds_pipeline_smoke(seq):
     assert len(poses) >= 3
     assert np.isfinite(np.stack(poses)).all()
     assert pipe.telemetry.counters["event_solves"] >= 3
+
+
+def test_eds_pipeline_full_loop(seq):
+    """The complete EDS cycle (SURVEY §3.1/§3.2): event solves between
+    frames, keyframe promotion from the flow/point-loss criteria (consumed
+    at the next frame), depth seeded forward; event trajectory accurate."""
+    cfg = load_config({
+        "caps": {"max_points_per_kf": 512, "max_immature_per_kf": 512,
+                 "max_window_frames": 6, "max_events": 8192},
+        "bundles": {"window_size": 4, "min_frames": 3},
+        "coarse": {"pyr_levels": 4, "max_iterations": [10, 20, 30, 30]},
+        "selector": {"desired_immature_density": 400.0,
+                     "desired_point_density": 300.0},
+        "event_frame": {"num_levels": 2, "events_per_frame": 8192},
+        # low flow threshold so the promotion path actually runs here
+        "tracker": {"max_iterations": [15, 10], "kf_flow_threshold": 1.0},
+    })
+    pipe = EDSPipeline(CAM, cfg)
+    ev_pos, ev_gt = [], []
+    for k in range(seq.num_frames):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+        if k + 1 < seq.num_frames and pipe.kf is not None:
+            packet = seq.events_between(k, k + 1)
+            T = pipe.process_events(packet)
+            if T is not None:
+                ev_pos.append(np.asarray(T.inverse().t))
+                # packet timestamp ~ median event time ~ midpoint
+                ev_gt.append(np.asarray(
+                    seq.pose_at(k + 0.5).inverse().t))
+    assert pipe.num_event_kfs >= 2, \
+        f"keyframe promotion never fired ({pipe.num_event_kfs} KFs)"
+    assert len(ev_pos) >= 6
+    err = float(ate_rmse(jnp.asarray(np.stack(ev_pos)),
+                         jnp.asarray(np.stack(ev_gt))))
+    assert err < 0.12, err
