@@ -40,9 +40,15 @@ def build_problem():
     T = jax.vmap(SE3.exp)(taus)
     uv = jnp.asarray(np.stack([rng.uniform(8, W - 8, P),
                                rng.uniform(8, H - 8, P)], -1), jnp.float32)
-    hosts = jnp.asarray(rng.integers(0, 7, P), jnp.int32)
+    # NOTE: keep this function free of device->host transfers. Through the
+    # axon TPU tunnel, a single D2H (np.asarray of a device array) switches
+    # the stream into a synchronous mode that slows gather-heavy executables
+    # by ~1000x for the rest of the process (measured: the patch-gather
+    # linearize goes 0.08 ms -> 251 ms after one D2H).
+    hosts_np = rng.integers(0, 7, P)
+    hosts = jnp.asarray(hosts_np, jnp.int32)
     r_act = np.ones((P, F), bool)
-    r_act[np.arange(P), np.asarray(hosts)] = False
+    r_act[np.arange(P), hosts_np] = False
     state = state._replace(
         T_eval=T,
         frame_valid=jnp.ones(F, bool),

@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from ..models.ba_state import BAState, CPARS, PT_ACTIVE, PT_MARGINALIZE
 from ..utils.lie import SE3
 from ..utils.image import PATTERN_DSO8
-from ..utils.interp import bilinear_3
+from ..utils.interp import pattern_tile_sample
 
 
 class Linearization(NamedTuple):
@@ -200,20 +200,17 @@ def linearize(state: BAState, target_images, height: int, width: int,
     pat_ok = (ptp[..., 2] > 1e-6) & (Ku > 1.1) & (Kv > 1.1) \
         & (Ku < width - 3) & (Kv < height - 3)
 
-    # sample every target frame image at its pattern locations
-    def sample_frame(img, Kuf, Kvf):
-        return bilinear_3(img, Kuf, Kvf)   # [P, K, 3]
-
-    hit = jax.vmap(sample_frame, in_axes=(0, 1, 1), out_axes=1)(
-        target_images, Ku, Kv)             # [P, F, K, 3]
+    # sample every target frame at its pattern taps: one 16x16 tile fetch
+    # per (point, frame) + in-register bilinear/gradient taps (the element
+    # gather this replaces costs ~10 cycles/element on TPU — see
+    # pattern_tile_sample). Gradients are recomputed from the intensity
+    # tile; identical to sampling the central-difference planes.
+    I_t, gx, gy, in_tile = pattern_tile_sample(target_images[..., 0], Ku, Kv)
 
     color = state.p_color[:, None, :]      # [P, 1, K]
-    residual = hit[..., 0] - (a_rel_p[..., None] * color + b_rel_p[..., None])
-    finite = jnp.isfinite(hit[..., 0])
+    residual = I_t - (a_rel_p[..., None] * color + b_rel_p[..., None])
+    finite = in_tile & jnp.isfinite(I_t)
     drdA = color - b0_p[:, None, None]
-
-    gx = hit[..., 1]
-    gy = hit[..., 2]
     w_grad = jnp.sqrt(outlier_th_sum / (outlier_th_sum + gx * gx + gy * gy))
     w = 0.5 * (w_grad + state.p_weight[:, None, :])
     abs_r = jnp.abs(residual)

@@ -17,6 +17,7 @@ ceres::Grid2D's behavior); validity masking is the caller's job.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -120,3 +121,68 @@ def bicubic_with_grad(img, x, y):
     dfdx = sum(wy[j] * row_dx[j] for j in range(4))
     dfdy = sum(dwy[j] * row_v[j] for j in range(4))
     return f, dfdx, dfdy
+
+
+def pattern_tile_sample(planes, u, v):
+    """Bilinear (value, gx, gy) sampling of warped taps via per-tap 4x4
+    patch fetches — the TPU-fast path of the BA residual loop.
+
+    XLA's element gather on TPU costs ~10 cycles per gathered element; the
+    DSO residual linearization (reference src/tracking/Residuals.cpp:174-236)
+    needs P*F*K taps x 4 bilinear corners x 3 channels, which measures
+    ~5.7 ms at the reference operating point (2048 pts x 8 frames x
+    8-pattern, v5e). Block gathers are ~200x cheaper per query: we fetch one
+    4x4 intensity patch per tap with a vmapped ``lax.dynamic_slice`` (one
+    block-gather query per tap instead of 12 element queries) and evaluate
+    value + central-difference gradients from the patch with static
+    indexing (pure VPU, ~0.2 ms total).
+
+    The gradients equal bilinear sampling of the precomputed central-
+    difference planes of ``image.build_pyramid`` exactly for taps >= 1 px
+    inside the image (the caller's OOB guards already enforce that; ``ok``
+    re-checks it here).
+
+    planes: [F, H, W] intensity. u, v: [P, F, K] tap pixel coords.
+    Returns (I, gx, gy, ok), each [P, F, K].
+    """
+    F, H, W = planes.shape
+    dtype = planes.dtype
+
+    uc = jnp.clip(jnp.nan_to_num(u, nan=-8.0), -8.0, W + 8.0)
+    vc = jnp.clip(jnp.nan_to_num(v, nan=-8.0), -8.0, H + 8.0)
+    x0 = jnp.floor(uc).astype(jnp.int32)
+    y0 = jnp.floor(vc).astype(jnp.int32)
+    ok = (uc >= 1.0) & (uc < W - 2.0) & (vc >= 1.0) & (vc < H - 2.0)
+    # patch origin (x0-1, y0-1); clamped so the slice stays in bounds (the
+    # values of clamped taps are garbage and masked by ok)
+    ox = jnp.clip(x0 - 1, 0, W - 4)
+    oy = jnp.clip(y0 - 1, 0, H - 4)
+
+    def per_frame(plane, oyf, oxf):          # [H, W], [P*K], [P*K]
+        def per_tap(yy, xx):
+            return jax.lax.dynamic_slice(plane, (yy, xx), (4, 4))
+        return jax.vmap(per_tap)(oyf, oxf)
+
+    P, _, K = u.shape
+    oyt = jnp.moveaxis(oy, 1, 0).reshape(F, P * K)
+    oxt = jnp.moveaxis(ox, 1, 0).reshape(F, P * K)
+    patch = jax.vmap(per_frame)(planes, oyt, oxt)       # [F, P*K, 4, 4]
+    patch = jnp.moveaxis(patch.reshape(F, P, K, 4, 4), 0, 1)  # [P, F, K, 4, 4]
+
+    fxp = uc - x0.astype(dtype)
+    fyp = vc - y0.astype(dtype)
+    w00 = (1 - fxp) * (1 - fyp)
+    w01 = fxp * (1 - fyp)
+    w10 = (1 - fxp) * fyp
+    w11 = fxp * fyp
+
+    def blend(a00, a01, a10, a11):
+        return w00 * a00 + w01 * a01 + w10 * a10 + w11 * a11
+
+    p = patch   # p[..., row, col]; the bilinear corners are rows/cols 1..2
+    val = blend(p[..., 1, 1], p[..., 1, 2], p[..., 2, 1], p[..., 2, 2])
+    gx = 0.5 * blend(p[..., 1, 2] - p[..., 1, 0], p[..., 1, 3] - p[..., 1, 1],
+                     p[..., 2, 2] - p[..., 2, 0], p[..., 2, 3] - p[..., 2, 1])
+    gy = 0.5 * blend(p[..., 2, 1] - p[..., 0, 1], p[..., 2, 2] - p[..., 0, 2],
+                     p[..., 3, 1] - p[..., 1, 1], p[..., 3, 2] - p[..., 1, 2])
+    return val, gx, gy, ok

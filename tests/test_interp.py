@@ -60,3 +60,48 @@ def test_bilinear_3channel(rng):
     assert v.shape == (1, 3)
     expect = 0.25 * (img3[5, 4] + img3[5, 5] + img3[6, 4] + img3[6, 5])
     np.testing.assert_allclose(v[0], expect, atol=1e-5)
+
+
+def test_pattern_tile_sample_matches_plane_sampling():
+    """The per-tap 4x4 patch sampler must equal bilinear sampling of the
+    precomputed [I, gx, gy] central-difference planes (interior taps)."""
+    import numpy as np
+    from slam_eds_tpu.utils.interp import pattern_tile_sample, bilinear_3
+    from slam_eds_tpu.utils.image import central_gradients
+
+    rng = np.random.default_rng(1)
+    F, H, W, P, K = 3, 64, 80, 37, 8
+    imgs = jnp.asarray(rng.uniform(0, 255, (F, H, W)), jnp.float32)
+    cu = rng.uniform(6, W - 7, (P, F, 1))
+    cv = rng.uniform(6, H - 7, (P, F, 1))
+    Ku = jnp.asarray(cu + rng.uniform(-3, 3, (P, F, K)), jnp.float32)
+    Kv = jnp.asarray(cv + rng.uniform(-3, 3, (P, F, K)), jnp.float32)
+    I, gx, gy, ok = pattern_tile_sample(imgs, Ku, Kv)
+    assert bool(ok.all())
+
+    planes = []
+    for f in range(F):
+        g = central_gradients(imgs[f])
+        planes.append(jnp.stack([imgs[f], g[0], g[1]], -1))
+    hit = jax.vmap(lambda im, u, v: bilinear_3(im, u, v),
+                   in_axes=(0, 1, 1), out_axes=1)(jnp.stack(planes), Ku, Kv)
+    np.testing.assert_allclose(np.asarray(I), np.asarray(hit[..., 0]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(hit[..., 1]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(hit[..., 2]),
+                               atol=1e-3)
+
+
+def test_pattern_tile_sample_out_of_bounds_masked():
+    import numpy as np
+    from slam_eds_tpu.utils.interp import pattern_tile_sample
+    F, H, W, P, K = 2, 32, 40, 5, 8
+    imgs = jnp.ones((F, H, W), jnp.float32)
+    Ku = jnp.asarray(np.array([[-5.0, 0.5, 1.5, 20.0, W - 2.5, W - 1.5,
+                                W + 9.0, np.nan]] * F)[None].repeat(P, 0),
+                     jnp.float32)
+    Kv = jnp.full((P, F, K), 10.0, jnp.float32)
+    _, _, _, ok = pattern_tile_sample(imgs, Ku, Kv)
+    expect = np.array([False, False, True, True, True, False, False, False])
+    np.testing.assert_array_equal(np.asarray(ok[0, 0]), expect)
