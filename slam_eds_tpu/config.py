@@ -52,6 +52,15 @@ class EventTrackerConfig:
     # the event tracker is the system's between-frame tracker: seed the
     # frame front-end's coarse alignment from the latest event pose
     seed_frame_tracker: bool = True
+    # solution-usability gate (Tracker.cpp:217-240 IsSolutionUsable +
+    # pose-filter warm-up rejection): reject solves whose pose step since
+    # the previous packet exceeds these bounds; state reverts and a new
+    # keyframe is requested. Translation is scale-aware: the bound is a
+    # fraction of the keyframe's median scene depth (the monocular scale is
+    # arbitrary — same parallax ratio the occlusion KF-criterion uses,
+    # src/utils/Utils.hpp:292-299). Rotation is absolute (radians).
+    max_step_translation: float = 0.5
+    max_step_rotation: float = 0.5
 
 
 @dataclass(frozen=True)

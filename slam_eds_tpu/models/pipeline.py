@@ -238,14 +238,19 @@ class EDSPipeline:
         return self._project_seed(Xw, jnp.asarray(active), T_wc)
 
     def _project_seed(self, Xw, ok, T_wc: SE3):
-        """World points -> (uv, idepth, mask) in the camera at T_wc."""
+        """World points -> (uv, idepth, mask) in the camera at T_wc.
+        Seeds outside the configured depth range (with 2x slack) are dropped
+        — a near-zero inverse depth makes translation unobservable in the
+        event cost (flow ~ rotation-only), which lets the solver wander."""
         Xk = T_wc.apply(Xw)
-        u = self.cam.fx * Xk[:, 0] / jnp.maximum(Xk[:, 2], 1e-6) + self.cam.cx
-        v = self.cam.fy * Xk[:, 1] / jnp.maximum(Xk[:, 2], 1e-6) + self.cam.cy
+        z = jnp.maximum(Xk[:, 2], 1e-6)
+        u = self.cam.fx * Xk[:, 0] / z + self.cam.cx
+        v = self.cam.fy * Xk[:, 1] / z + self.cam.cy
         ok = ok & (Xk[:, 2] > 1e-6) & (u >= 0) & (v >= 0) \
-            & (u <= self.cam.width - 1) & (v <= self.cam.height - 1)
-        return (jnp.stack([u, v], -1),
-                1.0 / jnp.maximum(Xk[:, 2], 1e-6), ok)
+            & (u <= self.cam.width - 1) & (v <= self.cam.height - 1) \
+            & (Xk[:, 2] > 0.5 * self.cfg.mapping.min_depth) \
+            & (Xk[:, 2] < 2.0 * self.cfg.mapping.max_depth)
+        return jnp.stack([u, v], -1), 1.0 / z, ok
 
     def _filter_seed_points(self, T_wc: SE3):
         """Converged depth-filter points of the outgoing event keyframe,
@@ -316,12 +321,40 @@ class EDSPipeline:
             num_levels=self.cfg.event_frame.num_levels,
             fwd_maps=fwd_maps)
         kf = self.kf
+        prev_state = self.tracker_state
         res = et.optimize_pyramid(
             self.tracker_state, ef.frames, self.cam,
             kf.norm_coord, kf.grad, kf.idepth, kf.weight, kf.mask,
             iterations_per_level=self.cfg.tracker.max_iterations,
             loss_kind=self.cfg.tracker.loss.kind,
             loss_scale=self.loss_scale)
+
+        # solution-usability gate (Tracker.cpp:217-240): reject solves whose
+        # pose step since the previous packet is unbounded (the normalized
+        # cost has a flat basin once all points warp off-frame; a step there
+        # is never a real camera motion at packet rate). On reject: revert,
+        # request a new keyframe, skip all downstream updates.
+        dT = et.pose_kf_ef(res.state).compose(
+            et.pose_kf_ef(prev_state).inverse())
+        d_tau = np.asarray(dT.log())
+        # translation bound is relative to the median scene depth — the
+        # monocular scale is arbitrary (parallax-ratio form of the
+        # occlusion KF criterion, Utils.hpp:292-299)
+        from ..utils.stats import masked_median
+        med_depth = float(masked_median(
+            1.0 / jnp.maximum(kf.idepth, 1e-6), kf.mask))
+        usable = (np.isfinite(float(res.energy))
+                  and np.isfinite(d_tau).all()
+                  and np.linalg.norm(d_tau[:3])
+                  < self.cfg.tracker.max_step_translation * med_depth
+                  and np.linalg.norm(d_tau[3:])
+                  < self.cfg.tracker.max_step_rotation)
+        if not usable:
+            self.tracker_state = prev_state
+            self.telemetry.counters["event_solve_rejected"] = \
+                self.telemetry.counters.get("event_solve_rejected", 0) + 1
+            self._pending_kf = True
+            return None
         self.tracker_state = res.state
         if self.cfg.tracker.loss.scale_estimator == "mad":
             self.loss_scale = float(res.loss_scale)

@@ -175,5 +175,15 @@ def bootstrap_eight_point(nc1, nc2, mask, seed=0, num_hypotheses: int = 128,
     T_21, n_front = recover_pose(E, nc1, nc2, inl)
     X1, ok = triangulate_midpoint(nc1, nc2, T_21)
     idepth = jnp.where(ok, 1.0 / jnp.maximum(X1[:, 2], 1e-6), 0.0)
-    return BootstrapResult(T_21=T_21, idepth=idepth, inliers=inl & ok,
+    good = inl & ok
+    # gauge fix: rescale so the mean inverse depth of the inlier set is 1
+    # (DSO's rescaleFactor in initializeFromInitializer; the eight-point
+    # recoverPose otherwise leaves |t| = 1 with arbitrary scene depth,
+    # which breaks every config depth range / parallax threshold downstream)
+    s = jnp.sum(jnp.where(good, idepth, 0.0)) \
+        / jnp.maximum(jnp.sum(good.astype(idepth.dtype)), 1.0)
+    s = jnp.where(s > 1e-8, s, 1.0)
+    idepth = idepth / s
+    T_21 = SE3(T_21.R, T_21.t * s)
+    return BootstrapResult(T_21=T_21, idepth=idepth, inliers=good,
                            success=n_inl > min_inliers)

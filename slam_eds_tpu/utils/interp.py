@@ -22,36 +22,101 @@ import jax.numpy as jnp
 
 
 def _gather2d(img, iy, ix):
-    """img [H, W, ...], integer index arrays broadcastable to a common shape."""
+    """img [H, W, ...], integer index arrays broadcastable to a common shape.
+    Element-gather fallback (slow on TPU — kept for odd access patterns)."""
     H, W = img.shape[0], img.shape[1]
     iy = jnp.clip(iy, 0, H - 1)
     ix = jnp.clip(ix, 0, W - 1)
     return img[iy, ix]
 
 
+def _fetch_patches(img, iy0, ix0, size: int):
+    """Fetch a (size x size) patch per query via vmapped dynamic_slice.
+
+    XLA lowers this to a block gather: one query fetching size^2 contiguous-
+    row elements costs ~45x less than ONE element-gather lookup on TPU
+    (measured v5e: 131k 4x4-slice queries = 0.03 ms vs 524k element
+    gathers = 5.7 ms), so every sampler here goes through patches.
+
+    img: [H, W] or [H, W, C]. iy0/ix0: int32 arrays of identical batch
+    shape, pre-clipped to [0, H-size] x [0, W-size]. Returns
+    [..., size, size] (or [..., size, size, C]).
+    """
+    bshape = iy0.shape
+    iyf = iy0.reshape(-1)
+    ixf = ix0.reshape(-1)
+    if img.ndim == 3:
+        sl = (size, size, img.shape[2])
+        fetch = lambda yy, xx: jax.lax.dynamic_slice(img, (yy, xx, 0), sl)
+    else:
+        fetch = lambda yy, xx: jax.lax.dynamic_slice(img, (yy, xx),
+                                                     (size, size))
+    patches = jax.vmap(fetch)(iyf, ixf)
+    return patches.reshape(bshape + patches.shape[1:])
+
+
+def _axis_weights(i0, taps_w, n_img, origin, size: int):
+    """Map per-tap kernel weights onto patch bins with edge clamping.
+
+    taps_w: tuple of T weight arrays for taps at offsets 0..T-1 from i0.
+    Returns [..., size] combined weights: w[c] = sum_t w_t * (rel_t == c)
+    where rel_t = clip(i0 + t, 0, n_img-1) - origin. Matches per-tap index
+    clamping (ceres::Grid2D / the reference's getInterpolatedElement edge
+    behavior) without any element gathers.
+    """
+    ar = jnp.arange(size, dtype=jnp.int32)
+    out = 0.0
+    for t, w in enumerate(taps_w):
+        rel = jnp.clip(i0 + t, 0, n_img - 1) - origin
+        out = out + w[..., None] * (rel[..., None] == ar)
+    return out
+
+
+def _clean_coords(x, hi):
+    return jnp.clip(jnp.nan_to_num(jnp.asarray(x), nan=-4.0), -4.0, hi + 4.0)
+
+
+def _poison_nonfinite(x, y, *vals):
+    """Return vals with NaN wherever the query coords are not finite —
+    callers gate bad warps (z<=0 projections etc.) with isfinite on the
+    sampled value, a contract the index clipping above would silently
+    break."""
+    bad = ~(jnp.isfinite(jnp.asarray(x)) & jnp.isfinite(jnp.asarray(y)))
+    out = []
+    for v in vals:
+        b = bad[..., None] if v.ndim == bad.ndim + 1 else bad
+        out.append(jnp.where(b, jnp.nan, v))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def bilinear(img, x, y):
     """Bilinear sample of img [H, W] (or [H, W, C]) at (x=col, y=row).
 
     Matches ``getInterpolatedElement`` (reference src/utils/globalFuncs.h):
-    floor-based with fractional weights.
+    floor-based fractional weights, edge-clamped taps. Implemented as one
+    2x2 patch block-gather per query (see _fetch_patches).
     """
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = x - x0
-    dy = y - y0
+    H, W = img.shape[0], img.shape[1]
+    xc = _clean_coords(x, W)
+    yc = _clean_coords(y, H)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    dx = xc - x0
+    dy = yc - y0
     ix0 = x0.astype(jnp.int32)
     iy0 = y0.astype(jnp.int32)
+    ox = jnp.clip(ix0, 0, W - 2)
+    oy = jnp.clip(iy0, 0, H - 2)
+    patch = _fetch_patches(img, oy, ox, 2)      # [..., 2, 2(, C)]
+    colw = _axis_weights(ix0, (1.0 - dx, dx), W, ox, 2)   # [..., 2]
+    roww = _axis_weights(iy0, (1.0 - dy, dy), H, oy, 2)
     if img.ndim == 3:
-        dx = dx[..., None]
-        dy = dy[..., None]
-    w00 = (1 - dx) * (1 - dy)
-    w01 = dx * (1 - dy)
-    w10 = (1 - dx) * dy
-    w11 = dx * dy
-    return (w00 * _gather2d(img, iy0, ix0)
-            + w01 * _gather2d(img, iy0, ix0 + 1)
-            + w10 * _gather2d(img, iy0 + 1, ix0)
-            + w11 * _gather2d(img, iy0 + 1, ix0 + 1))
+        rows = jnp.sum(patch * colw[..., None, :, None], axis=-2)  # [...,2,C]
+        val = jnp.sum(rows * roww[..., :, None], axis=-2)
+    else:
+        rows = jnp.sum(patch * colw[..., None, :], axis=-1)        # [..., 2]
+        val = jnp.sum(rows * roww, axis=-1)
+    return _poison_nonfinite(x, y, val)
 
 
 def bilinear_3(img3, x, y):
@@ -92,35 +157,35 @@ def bicubic(img, x, y):
 def bicubic_with_grad(img, x, y):
     """Bicubic sample + analytic spatial gradient (d/dx, d/dy).
 
-    Mirrors ``BiCubicInterpolator::Evaluate(row, col, &f, &dfdr, &dfdc)``.
-    Separable: 4 row interpolations then 1 column interpolation; gradients use
-    the derivative weights. 16 gathers per query point.
+    Mirrors ``BiCubicInterpolator::Evaluate(row, col, &f, &dfdr, &dfdc)``:
+    separable Keys kernel, per-tap edge clamping. One 4x4 patch block-gather
+    per query; the three outputs are bilinear forms roww^T P colw over the
+    in-register patch (value/derivative weight vectors per axis).
     """
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = x - x0
-    ty = y - y0
+    H, W = img.shape[0], img.shape[1]
+    xc = _clean_coords(x, W)
+    yc = _clean_coords(y, H)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    tx = xc - x0
+    ty = yc - y0
     ix = x0.astype(jnp.int32)
     iy = y0.astype(jnp.int32)
+    ox = jnp.clip(ix - 1, 0, W - 4)
+    oy = jnp.clip(iy - 1, 0, H - 4)
+    patch = _fetch_patches(img, oy, ox, 4)          # [..., 4, 4]
 
-    wx = _cubic_weights(tx)
-    wy = _cubic_weights(ty)
-    dwx = _cubic_weights_d(tx)
-    dwy = _cubic_weights_d(ty)
+    colw = _axis_weights(ix - 1, _cubic_weights(tx), W, ox, 4)
+    colw_d = _axis_weights(ix - 1, _cubic_weights_d(tx), W, ox, 4)
+    roww = _axis_weights(iy - 1, _cubic_weights(ty), H, oy, 4)
+    roww_d = _axis_weights(iy - 1, _cubic_weights_d(ty), H, oy, 4)
 
-    rows = []
-    for j, off_y in enumerate((-1, 0, 1, 2)):
-        taps = [_gather2d(img, iy + off_y, ix + off_x) for off_x in (-1, 0, 1, 2)]
-        rows.append(taps)
-
-    # interpolate along x within each row (value and d/dx)
-    row_v = [sum(wx[i] * rows[j][i] for i in range(4)) for j in range(4)]
-    row_dx = [sum(dwx[i] * rows[j][i] for i in range(4)) for j in range(4)]
-
-    f = sum(wy[j] * row_v[j] for j in range(4))
-    dfdx = sum(wy[j] * row_dx[j] for j in range(4))
-    dfdy = sum(dwy[j] * row_v[j] for j in range(4))
-    return f, dfdx, dfdy
+    rows_v = jnp.sum(patch * colw[..., None, :], axis=-1)    # [..., 4]
+    rows_dx = jnp.sum(patch * colw_d[..., None, :], axis=-1)
+    f = jnp.sum(rows_v * roww, axis=-1)
+    dfdx = jnp.sum(rows_dx * roww, axis=-1)
+    dfdy = jnp.sum(rows_v * roww_d, axis=-1)
+    return _poison_nonfinite(x, y, f, dfdx, dfdy)
 
 
 def pattern_tile_sample(planes, u, v):

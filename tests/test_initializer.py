@@ -49,17 +49,19 @@ def test_recover_pose_and_triangulate(rng):
     x1, x2, T_21, z_true = two_view(rng, noise=0.0)
     res = init.bootstrap_eight_point(x1, x2, jnp.ones(x1.shape[0], bool))
     assert bool(res.success)
-    # rotation exact, translation up to sign*scale (unit norm)
+    # rotation exact, translation up to sign*scale (mean-idepth-1 gauge)
     R_err = np.asarray(T_21.R) @ np.asarray(res.T_21.R).T
     assert abs(np.trace(R_err) - 3.0) < 1e-3
     t_est = np.asarray(res.T_21.t)
     t_true = np.asarray(T_21.t)
-    cos = abs(np.dot(t_est, t_true) / np.linalg.norm(t_true))
+    cos = abs(np.dot(t_est, t_true)
+              / (np.linalg.norm(t_true) * np.linalg.norm(t_est)))
     assert cos > 0.999
-    # depths proportional to truth
+    # depths proportional to truth; gauge: mean inlier inverse depth == 1
     m = np.asarray(res.inliers)
     rel = np.asarray(1.0 / res.idepth)[m] / np.asarray(z_true)[m]
     assert rel.std() / rel.mean() < 0.02
+    assert abs(np.asarray(res.idepth)[m].mean() - 1.0) < 1e-3
 
 
 def test_bootstrap_fails_on_garbage(rng):
