@@ -215,6 +215,7 @@ class Capacities:
 @dataclass(frozen=True)
 class RecorderConfig:
     """Output recording (src/utils/Config.hpp:27-54)."""
+    enabled: bool = False
     output_folder: str = "/tmp/eds_tpu"
     poses_filename: str = "poses.txt"
     velos_filename: str = "velos.txt"

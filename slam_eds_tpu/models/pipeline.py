@@ -210,6 +210,10 @@ class EDSPipeline:
         self.telemetry = Telemetry()
         self._pending_kf = False
         self.num_event_kfs = 0
+        self.recorder = None
+        if self.cfg.recorder.enabled:
+            from ..io.recorder import Recorder
+            self.recorder = Recorder(self.cfg.recorder)
 
     # ------------------------------------------------------------------
     def process_frame(self, img, time: float):
@@ -368,6 +372,10 @@ class EDSPipeline:
         T_w_ef = kf.pose.compose(T_kf_ef_s)   # camToWorld of event frame
         self.event_poses.append(np.asarray(T_w_ef.t))
         self.event_pose_list.append(T_w_ef.inverse())
+        if self.recorder is not None:
+            t_ef = float(ef.time)
+            self.recorder.record_pose(t_ef, T_w_ef)
+            self.recorder.record_velocity(t_ef, res.state.vx)
 
         # track update + depth filter (call stack §3.1)
         uv_ef, alive = et.warp_coords(res.state, self.cam, kf.norm_coord,

@@ -154,3 +154,48 @@ def test_photometric_calib_identity_and_vignette():
     out = np.asarray(pc.correct(img))
     assert abs(out[0, 0] - 100.0) < 1e-3         # vignette max -> unchanged
     assert abs(out[1, 1] - 200.0) < 1e-3         # 1/0.5 gain
+
+
+def test_png_roundtrip_gray8(tmp_path):
+    from slam_eds_tpu.io.image_rw import write_png, read_png
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (33, 47), dtype=np.uint8)
+    p = str(tmp_path / "g8.png")
+    write_png(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+
+
+def test_png_roundtrip_gray16_rgb8(tmp_path):
+    from slam_eds_tpu.io.image_rw import write_png, read_png
+    rng = np.random.default_rng(1)
+    img16 = rng.integers(0, 65536, (21, 18), dtype=np.uint16)
+    p = str(tmp_path / "g16.png")
+    write_png(p, img16)
+    np.testing.assert_array_equal(read_png(p), img16)
+    rgb = rng.integers(0, 256, (14, 19, 3), dtype=np.uint8)
+    p2 = str(tmp_path / "rgb.png")
+    write_png(p2, rgb)
+    np.testing.assert_array_equal(read_png(p2), rgb)
+
+
+def test_recorder_writes_tum_files(tmp_path):
+    from dataclasses import replace
+    from slam_eds_tpu.config import RecorderConfig
+    from slam_eds_tpu.io.recorder import Recorder
+    from slam_eds_tpu.utils.lie import SE3
+    import jax.numpy as jnp
+
+    cfg = RecorderConfig(enabled=True, output_folder=str(tmp_path))
+    rec = Recorder(cfg)
+    T = SE3.exp(jnp.asarray([0.1, -0.2, 0.3, 0.02, -0.01, 0.04], jnp.float32))
+    rec.record_pose(1.5, T)
+    rec.record_velocity(1.5, np.array([1, 0, 0, 0, 0, 0.5]))
+    pp, vp = rec.flush()
+    lines = open(pp).read().strip().split("\n")
+    assert len(lines) == 1 and len(lines[0].split()) == 8
+    vlines = open(vp).read().strip().split("\n")
+    assert len(vlines) == 1 and len(vlines[0].split()) == 7
+    # viz dump roundtrips through the PNG codec
+    path = rec.save_viz("test_img", np.linspace(0, 1, 64).reshape(8, 8))
+    from slam_eds_tpu.io.image_rw import read_png
+    assert read_png(path).shape == (8, 8)
