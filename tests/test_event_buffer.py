@@ -91,3 +91,32 @@ def test_packet_feeds_raster_kernel(ring):
                                       height=480, width=640)
     assert np.isfinite(np.asarray(frames)).all()
     assert float(norms[0]) > 0
+
+
+def test_event_file_reader_and_undistort(tmp_path):
+    from slam_eds_tpu.io import event_buffer as eb
+    if not eb.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "events.txt"
+    with open(p, "w") as f:
+        f.write("# t x y p\n")
+        for i in range(1000):
+            f.write(f"{i*1e-4:.6f} {i % 32} {(i * 7) % 24} {i % 2}\n")
+        f.write("\n bad line\n")
+    rd = eb.EventFileReader(str(p))
+    xs, ys, ts, ps = rd.read(600)
+    assert len(xs) == 600
+    assert ps[0] == -1.0 and ps[1] == 1.0            # 0 -> -1, 1 -> +1
+    np.testing.assert_allclose(ts[:3], [0.0, 1e-4, 2e-4], atol=1e-9)
+    ring = eb.EventRing(1 << 12)
+    total = rd.pump(ring)
+    assert total == 400 and len(ring) == 400
+
+    # undistortion maps: shift everything by (+2, +1)
+    W, H = 32, 24
+    mx, my = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    eb.apply_undistort(xs, ys, (mx + 2).astype(np.float32),
+                       (my + 1).astype(np.float32), W, H)
+    assert xs[0] == 2.0 and ys[0] == 1.0
