@@ -188,6 +188,7 @@ class EventFileReader {
       if (end == p) continue;
       p = end;
       const double pol = std::strtod(p, &end);
+      if (end == p) continue;  // malformed/truncated line: drop, don't invent
       ts[n] = t;
       xs[n] = static_cast<float>(x);
       ys[n] = static_cast<float>(y);
@@ -259,6 +260,42 @@ int64_t event_file_read(void* reader, float* xs, float* ys, double* ts,
 // per-event fwd_mapx/fwd_mapy lookup, src/tracking/EventFrame.cpp:316-317):
 // one pass over the packet, nearest-pixel map indexing, out-of-range events
 // flagged by moving them to (-1, -1) (masked by the raster kernel bounds).
+// PNG scanline unfilter (filters 1 Sub / 3 Average / 4 Paeth; 0/2 are
+// vectorized in numpy) — the sequential per-byte recurrences that are
+// pathological in interpreted Python (io/image_rw.py falls back to a Python
+// loop when this library is unavailable).
+void png_unfilter_rows(uint8_t* rows, const uint8_t* ftypes, int64_t n_rows,
+                       int64_t stride, int64_t bpp) {
+  std::vector<uint8_t> zero(static_cast<size_t>(stride), 0);
+  const uint8_t* prev = zero.data();
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint8_t* cur = rows + r * stride;
+    const int f = ftypes[r];
+    if (f == 1) {
+      for (int64_t i = bpp; i < stride; ++i) cur[i] += cur[i - bpp];
+    } else if (f == 2) {
+      for (int64_t i = 0; i < stride; ++i) cur[i] += prev[i];
+    } else if (f == 3) {
+      for (int64_t i = 0; i < stride; ++i) {
+        const int left = i >= bpp ? cur[i - bpp] : 0;
+        cur[i] = static_cast<uint8_t>(cur[i] + ((left + prev[i]) >> 1));
+      }
+    } else if (f == 4) {
+      for (int64_t i = 0; i < stride; ++i) {
+        const int a = i >= bpp ? cur[i - bpp] : 0;
+        const int b = prev[i];
+        const int c = i >= bpp ? prev[i - bpp] : 0;
+        const int p = a + b - c;
+        const int pa = std::abs(p - a), pb = std::abs(p - b),
+                  pc = std::abs(p - c);
+        const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+        cur[i] = static_cast<uint8_t>(cur[i] + pred);
+      }
+    }
+    prev = cur;
+  }
+}
+
 void event_apply_undistort(float* xs, float* ys, int64_t n, const float* mapx,
                            const float* mapy, int32_t width, int32_t height) {
   for (int64_t i = 0; i < n; ++i) {

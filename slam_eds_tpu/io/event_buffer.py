@@ -74,6 +74,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.event_apply_undistort.argtypes = [f32p, f32p, ctypes.c_int64, f32p,
                                           f32p, ctypes.c_int32,
                                           ctypes.c_int32]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.png_unfilter_rows.argtypes = [u8p, u8p, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -258,8 +261,10 @@ def apply_undistort(xs, ys, mapx, mapy, width: int, height: int):
     kernels' bounds mask rejects."""
     lib = _load()
     if lib is None:   # numpy fallback, identical semantics
-        xi = np.rint(xs).astype(np.int64)
-        yi = np.rint(ys).astype(np.int64)
+        # half-away-from-zero, matching the native std::lround (np.rint's
+        # half-to-even would pick a different pixel on exact .5 boundaries)
+        xi = np.trunc(xs + np.copysign(0.5, xs)).astype(np.int64)
+        yi = np.trunc(ys + np.copysign(0.5, ys)).astype(np.int64)
         ok = (xi >= 0) & (yi >= 0) & (xi < width) & (yi < height)
         idx = np.clip(yi * width + xi, 0, width * height - 1)
         xs[:] = np.where(ok, mapx.reshape(-1)[idx], -1.0)

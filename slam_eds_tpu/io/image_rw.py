@@ -17,6 +17,13 @@ import numpy as np
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _native():
+    """The native host-runtime library, if buildable (event_buffer owns the
+    build); provides png_unfilter_rows for the sequential filters."""
+    from .event_buffer import _load
+    return _load()
+
+
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
@@ -59,21 +66,23 @@ def write_png(path: str, img) -> None:
 
 def _unfilter(scan: np.ndarray, ftype: int, prev: np.ndarray,
               bpp: int) -> np.ndarray:
-    """Undo one scanline's PNG filter (types 0-4) in place-ish."""
+    """Undo one scanline's PNG filter (types 0-4). Pure-numpy fallback path
+    — the native ``png_unfilter_rows`` (event_runtime.cpp) is preferred; see
+    read_png. Filters 0/2 and Sub are vectorized; Average/Paeth keep the
+    sequential per-byte recurrence."""
     if ftype == 0:
         return scan
-    out = scan.astype(np.int32)
     if ftype == 2:                       # Up
-        return ((out + prev) & 0xFF).astype(np.uint8)
-    # Sub/Average/Paeth need a sequential pass over the line
-    cur = out.copy()
+        return (scan.astype(np.int32) + prev).astype(np.uint8)
+    if ftype == 1:                       # Sub: per-lane prefix sum mod 256
+        lanes = scan.reshape(-1, bpp).astype(np.int64)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    cur = scan.astype(np.int32).copy()
     for i in range(len(cur)):
         left = cur[i - bpp] if i >= bpp else 0
         up = int(prev[i])
         ul = int(prev[i - bpp]) if i >= bpp else 0
-        if ftype == 1:                   # Sub
-            cur[i] = (cur[i] + left) & 0xFF
-        elif ftype == 3:                 # Average
+        if ftype == 3:                   # Average
             cur[i] = (cur[i] + ((left + up) >> 1)) & 0xFF
         elif ftype == 4:                 # Paeth
             p = left + up - ul
@@ -115,16 +124,22 @@ def read_png(path: str) -> np.ndarray:
         raise ValueError(f"bit depth {depth} unsupported")
     raw = zlib.decompress(idat)
     stride = w * channels * (depth // 8)
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
     bpp = channels * (depth // 8)
-    p = 0
-    for row in range(h):
-        ftype = raw[p]
-        line = np.frombuffer(raw[p + 1:p + 1 + stride], np.uint8)
-        prev = _unfilter(line, ftype, prev, bpp)
-        out[row] = prev
-        p += 1 + stride
+    scan = np.frombuffer(raw, np.uint8)[: h * (1 + stride)].reshape(
+        h, 1 + stride)
+    ftypes = np.ascontiguousarray(scan[:, 0])
+    out = np.ascontiguousarray(scan[:, 1:])
+    if ftypes.max(initial=0) > 4:
+        raise ValueError("bad PNG filter type")
+    lib = _native()
+    if lib is not None:
+        # sequential per-byte recurrences (Sub/Average/Paeth) run natively
+        lib.png_unfilter_rows(out, ftypes, h, stride, bpp)
+    else:
+        prev = np.zeros(stride, np.uint8)
+        for row in range(h):
+            prev = _unfilter(out[row], int(ftypes[row]), prev, bpp)
+            out[row] = prev
     if depth == 16:
         img = out.view(">u2").astype(np.uint16).reshape(h, w, channels)
     else:

@@ -3,14 +3,14 @@
 The reference delegates trajectory/velocity recording and debug-viz dumps to
 the external driver task through ``eds::recorder::Config`` (output folder,
 poses/velos filenames, viz toggles; src/utils/Config.hpp:27-54). This module
-is that recorder: it buffers per-solve poses and 6-dof velocities and writes
-them as TUM-format text files, plus optional viz PNG dumps through the
+is that recorder: per-solve poses and 6-dof velocities are appended to
+TUM-format text files as they arrive (line-buffered, so a crash mid-sequence
+loses at most the current line), plus optional viz PNG dumps through the
 dependency-free ``image_rw`` codec.
 """
 from __future__ import annotations
 
 import os
-from typing import List
 
 import numpy as np
 
@@ -22,21 +22,32 @@ from .image_rw import write_png
 class Recorder:
     def __init__(self, cfg: RecorderConfig):
         self.cfg = cfg
-        self._poses: List[tuple] = []    # (time, SE3 camToWorld)
-        self._velos: List[tuple] = []    # (time, 6-vector)
         os.makedirs(cfg.output_folder, exist_ok=True)
+        self.poses_path = os.path.join(cfg.output_folder, cfg.poses_filename)
+        self.velos_path = os.path.join(cfg.output_folder, cfg.velos_filename)
+        self._poses_f = open(self.poses_path, "w", buffering=1)
+        self._velos_f = open(self.velos_path, "w", buffering=1)
+        self.n_poses = 0
+        self.n_velos = 0
 
     # ------------------------------------------------------------------
     def record_pose(self, time: float, T_wc: SE3) -> None:
-        """Buffer one camToWorld pose (the reference records T_w_ef per
-        event solve and keyframe poses per cycle)."""
-        self._poses.append((float(time), np.asarray(T_wc.R).copy(),
-                            np.asarray(T_wc.t).copy()))
+        """Append one camToWorld pose (TUM format: ``t x y z qx qy qz qw``;
+        the reference records T_w_ef per event solve)."""
+        tr = np.asarray(T_wc.t)
+        q = np.asarray(mat_to_quat(np.asarray(T_wc.R)))      # [w, x, y, z]
+        self._poses_f.write(
+            "%.9f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n"
+            % (float(time), tr[0], tr[1], tr[2], q[1], q[2], q[3], q[0]))
+        self.n_poses += 1
 
     def record_velocity(self, time: float, vx) -> None:
-        """Buffer one 6-dof [linear, angular] velocity sample (the
-        tracker's unit-norm velocity state)."""
-        self._velos.append((float(time), np.asarray(vx).copy()))
+        """Append one 6-dof [linear, angular] velocity sample (the tracker's
+        unit-norm velocity state): ``t vx vy vz wx wy wz``."""
+        v = np.asarray(vx)
+        self._velos_f.write("%.9f " % float(time)
+                            + " ".join("%.6f" % x for x in v) + "\n")
+        self.n_velos += 1
 
     def save_viz(self, name: str, img) -> str:
         """Dump a float image in [0,1] (or uint8) as PNG into the output
@@ -51,19 +62,18 @@ class Recorder:
 
     # ------------------------------------------------------------------
     def flush(self) -> tuple:
-        """Write poses/velos files (TUM trajectory format: ``t x y z qx qy
-        qz qw``; velos: ``t vx vy vz wx wy wz``). Returns the paths."""
-        poses_path = os.path.join(self.cfg.output_folder,
-                                  self.cfg.poses_filename)
-        with open(poses_path, "w") as f:
-            for t, R, tr in self._poses:
-                q = np.asarray(mat_to_quat(R))      # [w, x, y, z]
-                f.write("%.9f %.6f %.6f %.6f %.6f %.6f %.6f %.6f\n"
-                        % (t, tr[0], tr[1], tr[2], q[1], q[2], q[3], q[0]))
-        velos_path = os.path.join(self.cfg.output_folder,
-                                  self.cfg.velos_filename)
-        with open(velos_path, "w") as f:
-            for t, v in self._velos:
-                f.write("%.9f " % t
-                        + " ".join("%.6f" % x for x in v) + "\n")
-        return poses_path, velos_path
+        """Flush both files to disk; returns their paths. Records are
+        already written line-by-line — this just syncs buffers."""
+        self._poses_f.flush()
+        self._velos_f.flush()
+        return self.poses_path, self.velos_path
+
+    def close(self) -> None:
+        self._poses_f.close()
+        self._velos_f.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -307,9 +307,15 @@ class EDSPipeline:
                                         self.cfg.mapping.max_depth,
                                         self.cfg.mapping.init_a,
                                         self.cfg.mapping.init_b)
-        # keep velocity across keyframes (Tracker::reset keep_velo)
+        # keep velocity across keyframes (Tracker::reset keep_velo); the
+        # pose filter must restart too — its window holds tangents relative
+        # to the OLD keyframe, which would corrupt the Lie mean for the next
+        # `window` packets (the reference's warm-up rejection re-arms on
+        # reset, Tracker.cpp:594-607)
         self.tracker_state = self.tracker_state._replace(
             px=jnp.zeros(3), qx=jnp.asarray([1.0, 0, 0, 0], jnp.float32))
+        self.pose_filter = et.pose_filter_init(
+            self.cfg.tracker.pose_filter_window)
 
     # ------------------------------------------------------------------
     def process_events(self, packet, fwd_maps=None):

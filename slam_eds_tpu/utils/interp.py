@@ -223,15 +223,11 @@ def pattern_tile_sample(planes, u, v):
     ox = jnp.clip(x0 - 1, 0, W - 4)
     oy = jnp.clip(y0 - 1, 0, H - 4)
 
-    def per_frame(plane, oyf, oxf):          # [H, W], [P*K], [P*K]
-        def per_tap(yy, xx):
-            return jax.lax.dynamic_slice(plane, (yy, xx), (4, 4))
-        return jax.vmap(per_tap)(oyf, oxf)
-
     P, _, K = u.shape
     oyt = jnp.moveaxis(oy, 1, 0).reshape(F, P * K)
     oxt = jnp.moveaxis(ox, 1, 0).reshape(F, P * K)
-    patch = jax.vmap(per_frame)(planes, oyt, oxt)       # [F, P*K, 4, 4]
+    patch = jax.vmap(lambda pl, oyf, oxf: _fetch_patches(pl, oyf, oxf, 4))(
+        planes, oyt, oxt)                               # [F, P*K, 4, 4]
     patch = jnp.moveaxis(patch.reshape(F, P, K, 4, 4), 0, 1)  # [P, F, K, 4, 4]
 
     fxp = uc - x0.astype(dtype)

@@ -199,3 +199,21 @@ def test_recorder_writes_tum_files(tmp_path):
     path = rec.save_viz("test_img", np.linspace(0, 1, 64).reshape(8, 8))
     from slam_eds_tpu.io.image_rw import read_png
     assert read_png(path).shape == (8, 8)
+
+
+def test_png_read_external_encoder(tmp_path):
+    """Cross-validate the reader against an adaptively-filtered PNG from a
+    real encoder (cv2 uses libpng with Sub/Up/Average/Paeth heuristics)."""
+    cv2 = pytest.importorskip("cv2")
+    from slam_eds_tpu.io.image_rw import read_png
+    rng = np.random.default_rng(7)
+    # smooth gradient image: encoders pick non-zero filters for these
+    ys, xs = np.mgrid[0:120, 0:160]
+    img = (xs * 1.3 + ys * 0.7 + rng.normal(0, 3, (120, 160))).astype(np.uint8)
+    p = str(tmp_path / "ext.png")
+    assert cv2.imwrite(p, img)
+    np.testing.assert_array_equal(read_png(p), img)
+    rgb = rng.integers(0, 256, (50, 70, 3), dtype=np.uint8)
+    p2 = str(tmp_path / "ext_rgb.png")
+    assert cv2.imwrite(p2, rgb[..., ::-1])   # cv2 writes BGR
+    np.testing.assert_array_equal(read_png(p2), rgb)
