@@ -1,0 +1,175 @@
+"""Sequence runner — the user-facing driver the reference keeps external.
+
+The reference library is driven by a Rock/orogen task (SURVEY §0 L7) that
+owns dataset IO, event/frame interleaving, and output recording. This module
+is that driver as a CLI: it streams a standard event-camera text dataset
+
+    <dir>/events.txt        # "t x y p" lines ('#' comments)
+    <dir>/images.txt        # "t filename" lines
+    <dir>/images/*.png      # grayscale frames (any PNG the codec reads)
+    <dir>/calib.yaml        # calib schema of utils/calib.py  (optional)
+    <dir>/groundtruth.txt   # "t x y z qx qy qz qw"           (optional)
+
+through the native event ring into ``EDSPipeline`` (or the frame-only
+slice), records poses/velos via the recorder, and reports ATE-RMSE against
+ground truth when present.
+
+    python -m slam_eds_tpu.runner <dataset_dir> [--config cfg.yaml]
+        [--frames N] [--frame-only] [--output out_dir]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from dataclasses import replace
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import EDSConfig, load_config
+from .io import event_buffer as eb
+from .io.image_rw import read_png
+from .models.pipeline import EDSPipeline, FrameOnlyPipeline
+from .utils.alignment import ate_rmse
+from .utils.cameras import Pinhole
+
+
+def _load_images_index(path: str):
+    times, names = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            times.append(float(parts[0]))
+            names.append(parts[1])
+    return np.asarray(times), names
+
+
+def _load_groundtruth(path: str):
+    rows = np.loadtxt(path, comments="#")
+    return rows[:, 0], rows[:, 1:4]      # times, positions
+
+
+def _camera_from_dataset(d: str, first_img) -> Pinhole:
+    calib_path = os.path.join(d, "calib.yaml")
+    H, W = first_img.shape[:2]
+    if os.path.exists(calib_path):
+        from .utils.calib import read_camera_calib
+        info = read_camera_calib(calib_path)
+        fx, fy, cx, cy = info.intrinsics
+        return Pinhole(jnp.float32(fx), jnp.float32(fy),
+                       jnp.float32(cx), jnp.float32(cy), W, H)
+    # no calib shipped: assume a 90-deg FOV pinhole (documented fallback)
+    f = 0.5 * W
+    return Pinhole(jnp.float32(f), jnp.float32(f),
+                   jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+
+
+def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
+                 max_frames: Optional[int] = None, frame_only: bool = False,
+                 verbose: bool = True):
+    """Run the pipeline over one on-disk sequence. Returns a dict of
+    results (poses, event poses, ATE when ground truth exists, rates)."""
+    cfg = cfg or EDSConfig()
+    img_times, img_names = _load_images_index(
+        os.path.join(dataset_dir, "images.txt"))
+    if max_frames:
+        img_times, img_names = img_times[:max_frames], img_names[:max_frames]
+    first = read_png(os.path.join(dataset_dir, img_names[0]))
+    cam = _camera_from_dataset(dataset_dir, first)
+
+    pipe = (FrameOnlyPipeline if frame_only else EDSPipeline)(cam, cfg)
+
+    ring = None
+    events_path = os.path.join(dataset_dir, "events.txt")
+    if not frame_only and os.path.exists(events_path):
+        ring = eb.EventRing(1 << 22) if eb.available() \
+            else eb.PurePythonRing(1 << 22)
+        if eb.available():
+            reader = eb.EventFileReader(events_path)
+        else:  # numpy text fallback
+            rows = np.loadtxt(events_path, comments="#")
+            reader = None
+            ring.push(rows[:, 1].astype(np.float32),
+                      rows[:, 2].astype(np.float32), rows[:, 0],
+                      np.where(rows[:, 3] > 0, 1.0, -1.0).astype(np.float32))
+
+    t_start = time.perf_counter()
+    n_packets = 0
+    ev_times = []
+    for k, (t_img, name) in enumerate(zip(img_times, img_names)):
+        img = read_png(os.path.join(dataset_dir, name)).astype(np.float32)
+        pipe.process_frame(img, float(t_img))
+        if ring is None:
+            continue
+        if eb.available():
+            reader.pump(ring, 1 << 16)   # keep the ring topped up
+        if k + 1 >= len(img_times):
+            continue
+        # time-sliced packets: all events up to the next frame, in chunks of
+        # at most events_per_frame (the reference driver's packetization —
+        # events between consecutive frames tracked against the last KF)
+        t_next = float(img_times[k + 1])
+        cap = cfg.event_frame.events_per_frame
+        while True:
+            xs, ys, ts, ps, n, med = ring.pop_until(t_next, cap)
+            if n < 64:       # too thin to rasterize a usable event frame
+                break
+            from .io.dataset import EventPacket
+            packet = EventPacket(xs, ys, ts.astype(np.float32), ps, n)
+            T = pipe.process_events(packet)
+            n_packets += 1
+            if T is not None:
+                ev_times.append(med)
+            if n < cap:      # interval drained
+                break
+        if verbose and k % 10 == 0:
+            print(f"[runner] frame {k}/{len(img_names)} "
+                  f"packets={n_packets}")
+    wall = time.perf_counter() - t_start
+
+    out = {
+        "frames": len(img_names),
+        "packets": n_packets,
+        "wall_s": wall,
+        "frames_per_s": len(img_names) / wall,
+    }
+    fp = pipe if frame_only else pipe.frame_pipe
+    est = np.stack(fp.trajectory) if fp.trajectory else np.zeros((0, 3))
+    out["positions"] = est
+    gt_path = os.path.join(dataset_dir, "groundtruth.txt")
+    if os.path.exists(gt_path) and len(est) > 4:
+        gt_t, gt_xyz = _load_groundtruth(gt_path)
+        # associate by frame timestamps
+        idx = np.searchsorted(gt_t, img_times[: len(est)])
+        idx = np.clip(idx, 0, len(gt_t) - 1)
+        out["ate_rmse"] = float(ate_rmse(jnp.asarray(est),
+                                         jnp.asarray(gt_xyz[idx])))
+    if not frame_only and pipe.recorder is not None:
+        pipe.recorder.flush()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset_dir")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--frame-only", action="store_true")
+    ap.add_argument("--output", default=None)
+    args = ap.parse_args()
+    cfg = load_config(args.config) if args.config else EDSConfig()
+    if args.output:
+        cfg = replace(cfg, recorder=replace(cfg.recorder, enabled=True,
+                                            output_folder=args.output))
+    res = run_sequence(args.dataset_dir, cfg, max_frames=args.frames,
+                       frame_only=args.frame_only)
+    print({k: v for k, v in res.items() if k != "positions"})
+
+
+if __name__ == "__main__":
+    main()

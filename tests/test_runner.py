@@ -1,0 +1,80 @@
+"""End-to-end: export a synthetic sequence to the on-disk dataset format
+(events.txt / images.txt / images/*.png / groundtruth.txt), then drive it
+through the CLI runner — native reader -> ring -> pipeline -> recorder ->
+ATE. This is the reference's external-driver loop exercised from files."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from slam_eds_tpu.config import load_config
+from slam_eds_tpu.io.dataset import SyntheticSequence
+from slam_eds_tpu.io.image_rw import write_png
+from slam_eds_tpu.utils.cameras import Pinhole
+
+W, H = 128, 96
+CAM = Pinhole(jnp.float32(110.0), jnp.float32(110.0), jnp.float32(W / 2 - 0.5),
+              jnp.float32(H / 2 - 0.5), W, H)
+
+
+def _export(seq, d):
+    os.makedirs(os.path.join(d, "images"), exist_ok=True)
+    with open(os.path.join(d, "images.txt"), "w") as fimg:
+        for k in range(seq.num_frames):
+            t, img, _ = seq.frame(k)
+            name = f"images/frame_{k:04d}.png"
+            arr = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+            write_png(os.path.join(d, name), arr)
+            fimg.write(f"{t:.6f} {name}\n")
+    with open(os.path.join(d, "events.txt"), "w") as fev:
+        fev.write("# t x y p\n")
+        for k in range(seq.num_frames - 1):
+            p = seq.events_between(k, k + 1)
+            n = int(p.n_valid)
+            for i in range(n):
+                fev.write("%.6f %.2f %.2f %d\n"
+                          % (p.ts[i], p.xs[i], p.ys[i],
+                             1 if p.polarity[i] > 0 else 0))
+    gt = seq.gt_positions()
+    with open(os.path.join(d, "groundtruth.txt"), "w") as fgt:
+        for k in range(seq.num_frames):
+            t = float(seq.frame(k)[0])
+            fgt.write("%.6f %.6f %.6f %.6f 0 0 0 1\n"
+                      % (t, gt[k][0], gt[k][1], gt[k][2]))
+    with open(os.path.join(d, "calib.yaml"), "w") as fc:
+        fc.write("cam0:\n"
+                 "  intrinsics: [110.0, 110.0, 63.5, 47.5]\n"
+                 f"  resolution: [{W}, {H}]\n"
+                 "  distortion_model: radtan\n"
+                 "  distortion_coeffs: [0, 0, 0, 0]\n")
+
+
+def test_runner_end_to_end(tmp_path):
+    from slam_eds_tpu.runner import run_sequence
+    from dataclasses import replace
+
+    seq = SyntheticSequence(CAM, num_frames=10, events_per_packet=8192,
+                            motion_scale=0.35)
+    d = str(tmp_path / "seq")
+    _export(seq, d)
+
+    cfg = load_config({
+        "caps": {"max_points_per_kf": 512, "max_immature_per_kf": 512,
+                 "max_window_frames": 6, "max_events": 8192},
+        "bundles": {"window_size": 4, "min_frames": 3},
+        "coarse": {"pyr_levels": 4, "max_iterations": [10, 20, 30, 30]},
+        "selector": {"desired_immature_density": 400.0,
+                     "desired_point_density": 300.0},
+        "event_frame": {"num_levels": 2, "events_per_frame": 8192},
+        "tracker": {"max_iterations": [15, 10]},
+    })
+    cfg = replace(cfg, recorder=replace(
+        cfg.recorder, enabled=True, output_folder=str(tmp_path / "out")))
+    res = run_sequence(d, cfg, verbose=False)
+    assert res["frames"] == 10
+    assert res["packets"] >= 3
+    assert "ate_rmse" in res and res["ate_rmse"] < 0.2, res.get("ate_rmse")
+    # recorder produced TUM files with the event poses
+    poses = open(tmp_path / "out" / "poses.txt").read().strip()
+    assert len(poses.split("\n")) >= 3
