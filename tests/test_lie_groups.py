@@ -1,0 +1,103 @@
+"""SO(2)/SE(2)/RxSO(3)/Sim(3) — parity with the reference's vendored Sophus
+family (src/sophus/{so2,se2,rxso3,sim3}.hpp): exp/log round trips, group
+axioms, adjoint identity, and Taylor-branch behavior near zero."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slam_eds_tpu.utils.lie_groups import (
+    so2_exp, so2_log, se2_exp, se2_log, rxso3_exp, rxso3_log, Sim3, _sim3_W,
+)
+from slam_eds_tpu.utils.lie import so3_exp
+
+KEY = jax.random.PRNGKey(7)
+
+
+def test_so2_roundtrip():
+    for theta in [-3.0, -0.5, 0.0, 1e-9, 0.7, 3.1]:
+        R = so2_exp(jnp.asarray(theta))
+        assert np.allclose(R @ R.T, np.eye(2), atol=1e-6)
+        assert np.allclose(so2_log(R), theta, atol=1e-6)
+
+
+def test_se2_roundtrip():
+    taus = jax.random.normal(KEY, (32, 3))
+    for tau in taus:
+        R, t = se2_exp(tau)
+        back = se2_log(R, t)
+        assert np.allclose(back, tau, atol=1e-5), (tau, back)
+
+
+def test_se2_small_angle():
+    tau = jnp.array([0.3, -0.2, 1e-10])
+    R, t = se2_exp(tau)
+    # theta -> 0: pure translation
+    assert np.allclose(t, tau[:2], atol=1e-6)
+    assert np.allclose(se2_log(R, t), tau, atol=1e-6)
+
+
+def test_rxso3_roundtrip():
+    taus = jax.random.normal(KEY, (16, 4)) * jnp.array([1.0, 1.0, 1.0, 0.5])
+    for tau in taus:
+        sR = rxso3_exp(tau)
+        s = float(jnp.cbrt(jnp.linalg.det(sR)))
+        assert s > 0
+        assert np.allclose(rxso3_log(sR), tau, atol=1e-5)
+
+
+def test_sim3_W_matches_quadrature():
+    """W = integral_0^1 e^{sigma u} exp(u w^) du, checked by fine quadrature."""
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        w = jnp.asarray(rng.normal(size=3), jnp.float32)
+        sigma = jnp.asarray(rng.normal() * 0.5, jnp.float32)
+        us = np.linspace(0, 1, 4001)
+        acc = np.zeros((3, 3))
+        for u in us:
+            acc += np.exp(float(sigma) * u) * np.asarray(so3_exp(u * w))
+        acc /= len(us)
+        # trapezoid endpoint correction
+        acc -= 0.5 * (np.eye(3) + np.exp(float(sigma)) * np.asarray(so3_exp(w))) / len(us)
+        W = np.asarray(_sim3_W(w, sigma))
+        assert np.allclose(W, acc, atol=2e-3), (W, acc)
+
+
+@pytest.mark.parametrize("scale_tau", [1.0, 1e-6])
+def test_sim3_roundtrip(scale_tau):
+    taus = jax.random.normal(KEY, (16, 7)) * scale_tau
+    for tau in taus:
+        g = Sim3.exp(tau)
+        assert np.allclose(g.log(), tau, atol=1e-4), (tau, g.log())
+
+
+def test_sim3_group_axioms():
+    a = Sim3.exp(jnp.array([0.1, -0.2, 0.3, 0.2, 0.1, -0.3, 0.15]))
+    b = Sim3.exp(jnp.array([-0.3, 0.1, 0.2, -0.1, 0.25, 0.05, -0.2]))
+    ab = a.compose(b)
+    x = jnp.array([0.5, -1.0, 2.0])
+    assert np.allclose(ab.apply(x), a.apply(b.apply(x)), atol=1e-5)
+    ident = a.compose(a.inverse())
+    assert np.allclose(ident.R, np.eye(3), atol=1e-5)
+    assert np.allclose(ident.t, 0.0, atol=1e-5)
+    assert np.allclose(ident.s, 1.0, atol=1e-5)
+
+
+def test_sim3_adjoint_identity():
+    """Adj_g tau == log(g * exp(tau) * g^-1) for small tau."""
+    g = Sim3.exp(jnp.array([0.2, 0.1, -0.4, 0.3, -0.2, 0.1, 0.25]))
+    tau = jnp.array([1e-3, -2e-3, 1.5e-3, 2e-3, -1e-3, 0.5e-3, 1e-3])
+    lhs = g.adjoint() @ tau
+    rhs = g.compose(Sim3.exp(tau)).compose(g.inverse()).log()
+    assert np.allclose(lhs, rhs, atol=1e-5), (lhs, rhs)
+
+
+def test_sim3_reduces_to_se3():
+    """sigma = 0 must reproduce SE(3) exp (utils/lie.SE3)."""
+    from slam_eds_tpu.utils.lie import SE3
+    tau6 = jnp.array([0.3, -0.1, 0.5, 0.2, -0.4, 0.1])
+    g = Sim3.exp(jnp.concatenate([tau6, jnp.zeros(1)]))
+    e = SE3.exp(tau6)
+    assert np.allclose(g.R, e.R, atol=1e-6)
+    assert np.allclose(g.t, e.t, atol=1e-6)
+    assert np.allclose(g.s, 1.0, atol=1e-6)
