@@ -81,3 +81,129 @@ def load_metadata(path: str) -> Optional[dict]:
             with open(meta) as f:
                 return json.load(f)
     return None
+
+
+# ---------------------------------------------------------------------------
+# Whole-pipeline checkpoint / resume
+# ---------------------------------------------------------------------------
+# The tensor state (BAState, KeyFrame, DepthFilterState, TrackerState, ...)
+# is a fixed-capacity pytree and goes through save()/restore() above; but a
+# resumable odometry process also needs the host-side orchestration state
+# (slot bookkeeping, Python lists, optional components). That mixed
+# structure is serialized with stdlib pickle over numpy-converted leaves —
+# exact, dependency-free, and structure-preserving. For multi-host sharded
+# deployments, checkpoint the pure-tensor window state with save(...,
+# use_orbax=True) and rebuild host bookkeeping from the metadata.
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pipeline(path: str, pipe) -> str:
+    """Snapshot a FrameOnlyPipeline or EDSPipeline (after initialization).
+    Returns the file written (``path`` with a .ckpt suffix)."""
+    import pickle
+
+    is_eds = hasattr(pipe, "tracker_state")
+    fp = pipe.frame_pipe if is_eds else pipe
+    w = fp.window
+    assert fp._initialized, "checkpoint only defined after initialization"
+    d = {
+        "version": 1,
+        "is_eds": is_eds,
+        "window": {
+            "state": _to_numpy(w.state),
+            "images": np.asarray(w.images),
+            "immatures": [None if im is None else _to_numpy(im)
+                          for im in w.immatures],
+            "frame_times": list(w.frame_times),
+            "frame_ids": list(w.frame_ids),
+            "next_id": w.next_id,
+            "newest_slot": w.newest_slot,
+        },
+        "frame_pipe": {
+            "last_pose": _to_numpy(fp._last_pose),
+            "motion": _to_numpy(fp._motion),
+            "frames_since_kf": fp._frames_since_kf,
+            "trajectory": [np.asarray(t) for t in fp.trajectory],
+            "poses": [_to_numpy(p) for p in fp.poses],
+        },
+    }
+    if is_eds:
+        d["eds"] = {
+            "kf": None if pipe.kf is None else _to_numpy(pipe.kf),
+            "depth": None if pipe.depth is None else _to_numpy(pipe.depth),
+            "tracker": _to_numpy(pipe.tracker_state),
+            "pose_filter": _to_numpy(pipe.pose_filter),
+            "loss_scale": float(pipe.loss_scale),
+            "pending_kf": pipe._pending_kf,
+            "num_event_kfs": pipe.num_event_kfs,
+            "event_poses": [np.asarray(t) for t in pipe.event_poses],
+            "event_pose_list": [_to_numpy(p) for p in pipe.event_pose_list],
+        }
+    loc = path if path.endswith(".ckpt") else path + ".ckpt"
+    os.makedirs(os.path.dirname(os.path.abspath(loc)) or ".", exist_ok=True)
+    with open(loc, "wb") as f:
+        pickle.dump(d, f)
+    return loc
+
+
+def restore_pipeline(path: str, cam, cfg=None):
+    """Rebuild a running pipeline from a save_pipeline() snapshot.
+    Derived state (image pyramids, coarse-tracker templates) is recomputed
+    from the restored tensors, so the snapshot stays minimal."""
+    import pickle
+
+    from .config import EDSConfig
+    from .models.pipeline import EDSPipeline, FrameOnlyPipeline
+    from .utils.lie import SE3
+
+    loc = path if path.endswith(".ckpt") else path + ".ckpt"
+    with open(loc, "rb") as f:
+        d = pickle.load(f)
+    cfg = cfg or EDSConfig()
+
+    def _dev(tree):
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    pipe = (EDSPipeline if d["is_eds"] else FrameOnlyPipeline)(cam, cfg)
+    fp = pipe.frame_pipe if d["is_eds"] else pipe
+    w = fp.window
+    dw = d["window"]
+    w.state = _dev(dw["state"])
+    w.images = jnp.asarray(dw["images"])
+    w.immatures = [None if im is None else _dev(im)
+                   for im in dw["immatures"]]
+    w.frame_times = list(dw["frame_times"])
+    w.frame_ids = list(dw["frame_ids"])
+    w.next_id = dw["next_id"]
+    w.newest_slot = dw["newest_slot"]
+    # pyramids are derived from the stored window images (channel 0 is the
+    # intensity; gradients are recomputed by build_pyramid)
+    valid = np.asarray(w.state.frame_valid)
+    w.pyramids = [w._pyramid(w.images[s, ..., 0]) if valid[s] else None
+                  for s in range(w.state.num_frames)]
+    if w.newest_slot >= 0:
+        w.rebuild_coarse_template()
+
+    dfp = d["frame_pipe"]
+    fp._initialized = True
+    fp._last_pose = SE3(*map(jnp.asarray, dfp["last_pose"]))
+    fp._motion = SE3(*map(jnp.asarray, dfp["motion"]))
+    fp._frames_since_kf = dfp["frames_since_kf"]
+    fp.trajectory = [np.asarray(t) for t in dfp["trajectory"]]
+    fp.poses = [SE3(*map(jnp.asarray, p)) for p in dfp["poses"]]
+
+    if d["is_eds"]:
+        de = d["eds"]
+        pipe.kf = None if de["kf"] is None else _dev(de["kf"])
+        pipe.depth = None if de["depth"] is None else _dev(de["depth"])
+        pipe.tracker_state = _dev(de["tracker"])
+        pipe.pose_filter = _dev(de["pose_filter"])
+        pipe.loss_scale = de["loss_scale"]
+        pipe._pending_kf = de["pending_kf"]
+        pipe.num_event_kfs = de["num_event_kfs"]
+        pipe.event_poses = [np.asarray(t) for t in de["event_poses"]]
+        pipe.event_pose_list = [SE3(*map(jnp.asarray, p))
+                                for p in de["event_pose_list"]]
+    return pipe

@@ -50,6 +50,7 @@ class FrameOnlyPipeline:
         self._init_state = None      # DSO-style CoarseInitializer state
         self._initialized = False
         self._last_pose = SE3.identity()
+        self._motion = SE3.identity()   # last frame-to-frame relative motion
         self._frames_since_kf = 0
 
     # ------------------------------------------------------------------
@@ -152,8 +153,28 @@ class FrameOnlyPipeline:
                 return SE3.identity()
             return self._last_pose
 
-        res, T_wc = self.window.track_frame(img, self._last_pose)
+        # DSO-style motion-hypothesis try-list (FullSystem::trackNewFrame):
+        # zero motion first (primary — the event tracker usually seeds
+        # _last_pose at packet rate, making extrapolation redundant), then
+        # constant-velocity and half-motion retries; on total failure keep
+        # the prediction instead of adopting a diverged solve (the tracker's
+        # ok flag covers residual aborts and the affine sanity gates,
+        # CoarseTracker.cpp:685-698).
+        half = SE3.exp(0.5 * self._motion.log())
+        preds = [self._last_pose,
+                 self._motion.compose(self._last_pose),
+                 half.compose(self._last_pose)]
+        res = T_wc = None
+        for pred in preds:
+            res, T_wc = self.window.track_frame(img, pred)
+            if bool(res.ok):
+                break
+        if not bool(res.ok):
+            T_wc = preds[0]
+            self.telemetry.counters["track_lost"] = \
+                self.telemetry.counters.get("track_lost", 0) + 1
         self.telemetry.frame(ok=bool(res.ok))
+        self._motion = T_wc.compose(self._last_pose.inverse())
         self._last_pose = T_wc
         self.poses.append(T_wc)
         self.trajectory.append(np.asarray(T_wc.inverse().t))
@@ -171,8 +192,9 @@ class FrameOnlyPipeline:
         if w.num_active_frames >= w.cfg.caps.max_window_frames:
             # should not happen (marginalization keeps a free slot)
             pass
-        slot = w.insert_frame(img, T_wc, time,
-                              aff=tuple(np.asarray(track_res.aff)))
+        aff = tuple(np.asarray(track_res.aff)) if bool(track_res.ok) \
+            else (0.0, 0.0)
+        slot = w.insert_frame(img, T_wc, time, aff=aff)
         w.trace_all(slot)
         w.activate_points()
         e, lin = w.optimize()

@@ -475,7 +475,10 @@ class WindowManager:
         a = np.asarray(track_res.aff)
         wT = 0.04 * (640 + 480) / (w + h)
         wRT = 0.02 * (640 + 480) / (w + h)
+        # affine term: |log(e^{a})| = |a| (writing log(exp(a)) overflows to
+        # -inf for a diverged affine estimate; reference takes the log of the
+        # relative multiplier, CoarseTracker-based score in FullSystem)
         score = (wT * np.sqrt(max(fi[0], 0.0))
                  + wRT * np.sqrt(max(fi[2], 0.0))
-                 + 2.0 * abs(np.log(np.exp(a[0]))))
+                 + 2.0 * abs(float(a[0])))
         return bool(score > 1.0)

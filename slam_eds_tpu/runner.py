@@ -50,8 +50,13 @@ def _load_images_index(path: str):
 
 
 def _load_groundtruth(path: str):
+    """TUM-format ground truth: ``t x y z [qx qy qz qw]``. Returns
+    (times, positions, quats_or_None) — quats in [w,x,y,z] order."""
     rows = np.loadtxt(path, comments="#")
-    return rows[:, 0], rows[:, 1:4]      # times, positions
+    quats = None
+    if rows.shape[1] >= 8:
+        quats = rows[:, [7, 4, 5, 6]]    # xyzw -> wxyz
+    return rows[:, 0], rows[:, 1:4], quats
 
 
 def _camera_from_dataset(d: str, first_img) -> Pinhole:
@@ -143,12 +148,31 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     out["positions"] = est
     gt_path = os.path.join(dataset_dir, "groundtruth.txt")
     if os.path.exists(gt_path) and len(est) > 4:
-        gt_t, gt_xyz = _load_groundtruth(gt_path)
+        gt_t, gt_xyz, gt_q = _load_groundtruth(gt_path)
         # associate by frame timestamps
         idx = np.searchsorted(gt_t, img_times[: len(est)])
         idx = np.clip(idx, 0, len(gt_t) - 1)
         out["ate_rmse"] = float(ate_rmse(jnp.asarray(est),
                                          jnp.asarray(gt_xyz[idx])))
+        if gt_q is not None and fp.poses and len(fp.poses) == len(est):
+            # RPE needs full poses: est world_T_cam from the pipeline,
+            # ground truth from the TUM quaternions. The monocular scale is
+            # a gauge freedom — correct it with the Umeyama scale (relative
+            # translations scale linearly under a global Sim3).
+            from .utils.alignment import rpe, umeyama
+            from .utils.lie import SE3, quat_to_mat
+            import jax
+            est_wc = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[p.inverse() for p in fp.poses])
+            s_fit, _, _ = umeyama(jnp.asarray(est),
+                                  jnp.asarray(gt_xyz[idx], jnp.float32))
+            est_wc = SE3(est_wc.R, s_fit * est_wc.t)
+            R_gt = jax.vmap(quat_to_mat)(
+                jnp.asarray(gt_q[idx], jnp.float32))
+            gt_wc = SE3(R_gt, jnp.asarray(gt_xyz[idx], jnp.float32))
+            t_err, r_err = rpe(est_wc, gt_wc, delta=1)
+            out["rpe_trans"] = float(t_err)
+            out["rpe_rot_rad"] = float(r_err)
     if not frame_only and pipe.recorder is not None:
         pipe.recorder.flush()
     return out
