@@ -90,20 +90,77 @@ def load_metadata(path: str) -> Optional[dict]:
 # is a fixed-capacity pytree and goes through save()/restore() above; but a
 # resumable odometry process also needs the host-side orchestration state
 # (slot bookkeeping, Python lists, optional components). That mixed
-# structure is serialized with stdlib pickle over numpy-converted leaves —
-# exact, dependency-free, and structure-preserving. For multi-host sharded
-# deployments, checkpoint the pure-tensor window state with save(...,
-# use_orbax=True) and rebuild host bookkeeping from the metadata.
+# structure is serialized as ONE npz file: arrays under generated keys and a
+# JSON manifest (structure + plain-Python scalars) stored as a string array.
+# No pickle anywhere — a .ckpt from an untrusted source can corrupt a resume
+# but can never execute code (round-2 advisor finding). For multi-host
+# sharded deployments, checkpoint the pure-tensor window state with
+# save(..., use_orbax=True) and rebuild host bookkeeping from the metadata.
 
 def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _encode(obj, arrays: Dict[str, np.ndarray]):
+    """Structure -> JSON-able manifest node; arrays hoisted into `arrays`."""
+    if obj is None or isinstance(obj, (bool, int, float, str)):
+        return obj if not isinstance(obj, float) or np.isfinite(obj) \
+            else {"t": "f", "v": repr(obj)}
+    if isinstance(obj, (np.ndarray, np.generic)) or hasattr(obj, "__jax_array__") \
+            or isinstance(obj, jax.Array):
+        key = f"a{len(arrays)}"
+        arrays[key] = np.asarray(obj)
+        return {"t": "arr", "k": key}
+    if isinstance(obj, tuple) and hasattr(obj, "_fields"):   # NamedTuple
+        return {"t": "nt", "cls": type(obj).__name__,
+                "v": [_encode(x, arrays) for x in obj]}
+    if isinstance(obj, (list, tuple)):
+        return {"t": "list" if isinstance(obj, list) else "tuple",
+                "v": [_encode(x, arrays) for x in obj]}
+    if isinstance(obj, dict):
+        return {"t": "dict", "v": {k: _encode(v, arrays)
+                                   for k, v in obj.items()}}
+    raise TypeError(f"checkpoint cannot encode {type(obj)!r}")
+
+
+def _nt_registry() -> Dict[str, type]:
+    """Known NamedTuple state types, looked up by class name on decode."""
+    import inspect
+    from .models import ba_state, keyframe
+    from .ops import depth_filter, event_tracker, immature, coarse_init
+    from .utils import lie
+    reg: Dict[str, type] = {}
+    for mod in (ba_state, keyframe, depth_filter, event_tracker, immature,
+                coarse_init, lie):
+        for name, cls in inspect.getmembers(mod, inspect.isclass):
+            if issubclass(cls, tuple) and hasattr(cls, "_fields"):
+                reg[name] = cls
+    return reg
+
+
+def _decode(node, arrays, reg):
+    if node is None or isinstance(node, (bool, int, float, str)):
+        return node
+    t = node["t"]
+    if t == "f":
+        return float(node["v"])          # inf/nan round-trip
+    if t == "arr":
+        return arrays[node["k"]]
+    if t == "nt":
+        return reg[node["cls"]](*[_decode(x, arrays, reg)
+                                  for x in node["v"]])
+    if t == "list":
+        return [_decode(x, arrays, reg) for x in node["v"]]
+    if t == "tuple":
+        return tuple(_decode(x, arrays, reg) for x in node["v"])
+    if t == "dict":
+        return {k: _decode(v, arrays, reg) for k, v in node["v"].items()}
+    raise ValueError(f"bad checkpoint node type {t!r}")
+
+
 def save_pipeline(path: str, pipe) -> str:
     """Snapshot a FrameOnlyPipeline or EDSPipeline (after initialization).
     Returns the file written (``path`` with a .ckpt suffix)."""
-    import pickle
-
     is_eds = hasattr(pipe, "tracker_state")
     fp = pipe.frame_pipe if is_eds else pipe
     w = fp.window
@@ -127,6 +184,7 @@ def save_pipeline(path: str, pipe) -> str:
             "frames_since_kf": fp._frames_since_kf,
             "trajectory": [np.asarray(t) for t in fp.trajectory],
             "poses": [_to_numpy(p) for p in fp.poses],
+            "times": [float(t) for t in fp.times],
         },
     }
     if is_eds:
@@ -143,24 +201,27 @@ def save_pipeline(path: str, pipe) -> str:
         }
     loc = path if path.endswith(".ckpt") else path + ".ckpt"
     os.makedirs(os.path.dirname(os.path.abspath(loc)) or ".", exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    manifest = _encode(d, arrays)
     with open(loc, "wb") as f:
-        pickle.dump(d, f)
+        np.savez(f, __manifest__=np.asarray(json.dumps(manifest)), **arrays)
     return loc
 
 
 def restore_pipeline(path: str, cam, cfg=None):
     """Rebuild a running pipeline from a save_pipeline() snapshot.
     Derived state (image pyramids, coarse-tracker templates) is recomputed
-    from the restored tensors, so the snapshot stays minimal."""
-    import pickle
-
+    from the restored tensors, so the snapshot stays minimal. The .ckpt is
+    plain npz + a JSON manifest — loading never executes code."""
     from .config import EDSConfig
     from .models.pipeline import EDSPipeline, FrameOnlyPipeline
     from .utils.lie import SE3
 
     loc = path if path.endswith(".ckpt") else path + ".ckpt"
-    with open(loc, "rb") as f:
-        d = pickle.load(f)
+    with np.load(loc, allow_pickle=False) as data:
+        manifest = json.loads(str(data["__manifest__"]))
+        arrays = {k: data[k] for k in data.files if k != "__manifest__"}
+    d = _decode(manifest, arrays, _nt_registry())
     cfg = cfg or EDSConfig()
 
     def _dev(tree):
@@ -193,6 +254,7 @@ def restore_pipeline(path: str, cam, cfg=None):
     fp._frames_since_kf = dfp["frames_since_kf"]
     fp.trajectory = [np.asarray(t) for t in dfp["trajectory"]]
     fp.poses = [SE3(*map(jnp.asarray, p)) for p in dfp["poses"]]
+    fp.times = [float(t) for t in dfp.get("times", [])]
 
     if d["is_eds"]:
         de = d["eds"]

@@ -182,7 +182,9 @@ class EventFrameConfig:
     """Event accumulation (src/tracking/EventFrame.cpp)."""
     num_levels: int = 3
     interpolation: str = "bilinear"     # nn | bilinear  (drawValuesPoints)
-    time_weighted: bool = False         # exponential time decay weights
+    time_weighted: bool = True          # Gaussian time-ordering weights
+    # (default matches EventFrame::create's use_exp_weights path, which the
+    # round-2 pipeline used unconditionally; set False for flat weighting)
     gaussian_blur_ksize: int = 3        # 0 disables
     events_per_frame: int = 16384       # fixed packet capacity (pad/truncate)
 

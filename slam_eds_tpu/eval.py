@@ -59,8 +59,13 @@ def batched_event_solves(states: et.TrackerState, event_frames, cam: Pinhole,
                            loss_kind=loss_kind, loss_scale=ls,
                            norm_event=norm_event)
 
+    # a scalar loss_scale (the documented default) applies to every lane:
+    # broadcast it to [B] so vmap's in_axes=0 sees a mappable axis
+    ls = jnp.asarray(loss_scale, jnp.float32)
+    if ls.ndim == 0:
+        ls = jnp.broadcast_to(ls, event_frames.shape[:1])
     return jax.vmap(one)(states, event_frames, norm_coord, grad, idp,
-                         weights, mask, jnp.asarray(loss_scale))
+                         weights, mask, ls)
 
 
 # ---------------------------------------------------------------------------

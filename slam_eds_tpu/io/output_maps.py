@@ -61,15 +61,20 @@ def _backproject_window(state: bs.BAState, min_rel_var: float = 0.001):
 
 
 def get_map(state: bs.BAState, images: Optional[np.ndarray] = None,
-            color_mode: str = "image") -> PointCloud:
+            color_mode: str = "image", sor=None) -> PointCloud:
     """Export the BA window as a colored world pointcloud.
 
     color_mode: 'image' samples the host keyframe intensity at the point
     pixel (reference KeyFrame::getMap MODE_IMAGE); 'depth' colors by
     inverse depth (MODE_DEPTH); 'residual' would need the last linearize —
     callers overlay that via utils.viz instead.
+    sor: optional (nb_points, radius) enabling radius outlier removal on
+    the exported cloud (MappingConfig.sor_*).
     """
     xyz, valid = _backproject_window(state)
+    if sor is not None:
+        valid = radius_outlier_removal(xyz, valid, int(sor[0]),
+                                       float(sor[1]))
     xyz = np.asarray(xyz)
     valid = np.asarray(valid)
     P = xyz.shape[0]
@@ -93,6 +98,23 @@ def get_map(state: bs.BAState, images: Optional[np.ndarray] = None,
         color = apply_colormap(idp, JET, vmin=float(sel.min()),
                                vmax=float(sel.max()))
     return PointCloud(xyz=xyz, color=color, valid=valid)
+
+
+@jax.jit
+def radius_outlier_removal(xyz, valid, nb_points: int = 8,
+                           radius: float = 0.1):
+    """Radius outlier removal on the exported cloud: keep points with at
+    least ``nb_points`` neighbors within ``radius`` — the reference's PCL
+    SOR pass on the map output (``sor_active/nb_points/radius`` in
+    src/mapping/Config.hpp:29-61). Brute-force [N, N] distance matrix: at
+    map capacities (<= a few thousand points) one MXU-shaped matmul beats
+    any tree walk on TPU. Returns the tightened validity mask."""
+    x = jnp.asarray(xyz, jnp.float32)
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    near = (d2 <= radius * radius) & valid[None, :] & valid[:, None]
+    count = jnp.sum(near, axis=1) - 1          # exclude self
+    return valid & (count >= nb_points)
 
 
 def write_ply(path: str, cloud: PointCloud) -> int:

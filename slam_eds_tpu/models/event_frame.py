@@ -37,6 +37,7 @@ def create_event_frame(xs, ys, ts, polarities, n_valid, height: int,
                        width: int, num_levels: int = 1,
                        fwd_maps=None, use_time_weights: bool = True,
                        blur_sigma: float = 0.5, blur_ksize: int = 3,
+                       interpolation: str = "bilinear",
                        T_w_ef: Optional[SE3] = None) -> EventFrame:
     """Build an EventFrame from a fixed-capacity packet (EventFrame::create,
     EventFrame.cpp:302-389). Arrays are capacity-padded; n_valid marks the
@@ -46,7 +47,7 @@ def create_event_frame(xs, ys, ts, polarities, n_valid, height: int,
     frames, norms = ev.build_event_frame(
         xs, ys, polarities, n_valid, height, width, num_levels=num_levels,
         use_time_weights=use_time_weights, blur_sigma=blur_sigma,
-        blur_ksize=blur_ksize)
+        blur_ksize=blur_ksize, interpolation=interpolation)
     cap = ts.shape[0]
     first = ts[0]
     last = ts[jnp.maximum(n_valid - 1, 0)]

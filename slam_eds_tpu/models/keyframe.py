@@ -79,6 +79,44 @@ def nn_depth_lookup(uv, map_uv, map_idp, map_mask):
     return idp, w
 
 
+def idepth_map_from_depth_image(depth, stride: int = 4,
+                                min_depth: float = 1e-3,
+                                max_depth: float = jnp.inf):
+    """Sparse IDepthMap (uv [M,2], idepth [M], mask [M]) from a dense depth
+    image — ``eds::mapping::IDepthMap`` from-depth-image conversion
+    (reference src/mapping/Types.hpp:109-276). Subsamples on a regular
+    ``stride`` grid (fixed shape for jit); non-finite / out-of-range depths
+    are masked. A range/"DistanceImage" input is the same thing with range
+    treated as z."""
+    d = jnp.asarray(depth, jnp.float32)
+    H, W = d.shape
+    ys, xs = jnp.meshgrid(jnp.arange(0, H, stride, dtype=jnp.float32),
+                          jnp.arange(0, W, stride, dtype=jnp.float32),
+                          indexing="ij")
+    z = d[::stride, ::stride]
+    mask = jnp.isfinite(z) & (z > min_depth) & (z < max_depth)
+    uv = jnp.stack([xs.ravel(), ys.ravel()], -1)
+    idp = 1.0 / jnp.maximum(z.ravel(), min_depth)
+    return uv, idp, mask.ravel()
+
+
+def idepth_map_from_pointcloud(Xw, T_cw: SE3, cam: Pinhole, mask=None):
+    """Sparse IDepthMap from a world-frame pointcloud [M, 3] projected into
+    the camera at worldToCam ``T_cw`` — the IDepthMap-from-pointcloud path
+    of reference src/mapping/Types.hpp:109-276. Returns (uv, idepth, mask);
+    points behind the camera or outside the image are masked."""
+    Xc = T_cw.apply(jnp.asarray(Xw, jnp.float32))
+    z = Xc[:, 2]
+    zs = jnp.maximum(z, 1e-6)
+    u = cam.fx * Xc[:, 0] / zs + cam.cx
+    v = cam.fy * Xc[:, 1] / zs + cam.cy
+    ok = (z > 1e-6) & (u >= 0) & (v >= 0) \
+        & (u <= cam.width - 1) & (v <= cam.height - 1)
+    if mask is not None:
+        ok = ok & mask
+    return jnp.stack([u, v], -1), 1.0 / zs, ok
+
+
 def create_keyframe(raw_img, cam: Pinhole, capacity: int,
                     percent_points: float = 0.4,
                     patch: int = 8, selection_mode: str = "max",

@@ -44,6 +44,7 @@ class FrameOnlyPipeline:
         self.window = WindowManager(self.cam, self.cfg)
         self.trajectory: List[np.ndarray] = []   # camToWorld translations
         self.poses: List[SE3] = []               # worldToCam per frame
+        self.times: List[float] = []             # frame timestamp per entry
         self.telemetry = Telemetry()
         self._boot_img = None
         self._boot_time = None
@@ -52,6 +53,7 @@ class FrameOnlyPipeline:
         self._last_pose = SE3.identity()
         self._motion = SE3.identity()   # last frame-to-frame relative motion
         self._frames_since_kf = 0
+        self._lost = False              # explicit lost state (DSO isLost)
 
     # ------------------------------------------------------------------
     def _bootstrap(self, img0, t0, img1, t1) -> bool:
@@ -91,6 +93,7 @@ class FrameOnlyPipeline:
         self.poses = [SE3.identity(), res.T_21]
         self.trajectory = [np.zeros(3),
                            np.asarray(res.T_21.inverse().t)]
+        self.times = [t0, t1]
         self._initialized = True
         return True
 
@@ -125,18 +128,70 @@ class FrameOnlyPipeline:
         self._last_pose = T_10
         self.poses = [SE3.identity(), T_10]
         self.trajectory = [np.zeros(3), np.asarray(T_10.inverse().t)]
+        self.times = [self._boot_time, time]
         self._initialized = True
         return True
 
     # ------------------------------------------------------------------
-    def process_frame(self, img, time: float):
-        """Feed one grayscale frame; returns the worldToCam pose estimate."""
+    def _bootstrap_depthmap(self, img, time: float, depth_map) -> bool:
+        """Depth-map bootstrap (reference path C, ``MiDAS`` selector,
+        src/tracking/Config.hpp:39): an externally-supplied monocular depth
+        (e.g. a MiDaS net output) seeds the first keyframe's structure
+        directly — immatures via the depth ctor (ImmaturePoint.cpp:68-114)
+        and active points with an idepth prior — so tracking starts from
+        frame one without any two-view parallax."""
+        g0 = jnp.asarray(img, jnp.float32)
+        if isinstance(depth_map, tuple):
+            uv, idp, mask = depth_map           # sparse IDepthMap form
+        else:                                    # dense [H, W] depth image
+            gx, gy = image_ops.sobel(g0, 3)
+            gmag = image_ops.gradient_magnitude(gx, gy)
+            uv, mask = candidate_points_grid(
+                gmag, patch=8, capacity=self.cfg.caps.max_points_per_kf)
+            d = jnp.asarray(depth_map, jnp.float32)
+            ui = jnp.clip(uv[:, 0].astype(jnp.int32), 0, d.shape[1] - 1)
+            vi = jnp.clip(uv[:, 1].astype(jnp.int32), 0, d.shape[0] - 1)
+            z = d[vi, ui]
+            mask = mask & jnp.isfinite(z) & (z > 1e-3)
+            idp = 1.0 / jnp.maximum(z, 1e-3)
+        slot = self.window.insert_frame(img, SE3.identity(), time,
+                                        is_first=True,
+                                        immature_seed=(uv, idp, mask))
+        n = self.window.activate_seed_points(
+            slot, uv, idp, mask, prior=self.cfg.bundles.idepth_fix_prior)
+        if n < 16:
+            return False
+        self.window.rebuild_coarse_template()
+        self._last_pose = SE3.identity()
+        self.poses = [SE3.identity()]
+        self.trajectory = [np.zeros(3)]
+        self.times = [time]
+        self._initialized = True
+        return True
+
+    # ------------------------------------------------------------------
+    def process_frame(self, img, time: float, depth_map=None):
+        """Feed one grayscale frame; returns the worldToCam pose estimate.
+
+        depth_map: optional external depth for the ``midas`` bootstrap —
+        dense [H, W] metric depth or a sparse (uv [N,2], idepth [N],
+        mask [N]) tuple."""
         if not self._initialized:
+            if self.cfg.tracker.bootstrap == "midas":
+                if depth_map is not None and \
+                        self._bootstrap_depthmap(img, time, depth_map):
+                    return self._last_pose
+                # no depth yet: hold at identity until one arrives
+                self.poses = self.poses or [SE3.identity()]
+                self.trajectory = self.trajectory or [np.zeros(3)]
+                self.times = [time]
+                return SE3.identity()
             if self.cfg.tracker.bootstrap == "dso":
                 ok = self._bootstrap_dso(img, time)
                 if not ok:
                     self.poses = self.poses or [SE3.identity()]
                     self.trajectory = self.trajectory or [np.zeros(3)]
+                    self.times = self.times or [time]
                     return SE3.identity()
                 return self._last_pose
             if self._boot_img is None:
@@ -144,12 +199,15 @@ class FrameOnlyPipeline:
                 self._boot_time = time
                 self.poses = [SE3.identity()]
                 self.trajectory = [np.zeros(3)]
+                self.times = [time]
                 return SE3.identity()
             ok = self._bootstrap(self._boot_img, self._boot_time, img, time)
             if not ok:
-                # keep waiting with the newest frame as bootstrap anchor
+                # keep waiting with the newest frame as bootstrap anchor;
+                # the held identity pose now refers to this frame's time
                 self._boot_img = img
                 self._boot_time = time
+                self.times = [time]
                 return SE3.identity()
             return self._last_pose
 
@@ -169,19 +227,31 @@ class FrameOnlyPipeline:
             res, T_wc = self.window.track_frame(img, pred)
             if bool(res.ok):
                 break
-        if not bool(res.ok):
-            T_wc = preds[0]
+        if bool(res.ok):
+            self._motion = T_wc.compose(self._last_pose.inverse())
+            self._lost = False
+        else:
+            # constant-velocity hold: advance by the PREVIOUS motion and keep
+            # _motion itself unchanged so the hypothesis ladder stays spread
+            # on the next frame (resetting it collapses all three predictions
+            # to zero motion; reference DSO sets isLost and stops mapping)
+            T_wc = self._motion.compose(self._last_pose)
+            self._lost = True
             self.telemetry.counters["track_lost"] = \
                 self.telemetry.counters.get("track_lost", 0) + 1
         self.telemetry.frame(ok=bool(res.ok))
-        self._motion = T_wc.compose(self._last_pose.inverse())
         self._last_pose = T_wc
         self.poses.append(T_wc)
         self.trajectory.append(np.asarray(T_wc.inverse().t))
+        self.times.append(time)
         self._frames_since_kf += 1
 
-        make_kf = self.window.need_new_kf(res) or \
-            self._frames_since_kf >= self.cfg.bundles.min_frames
+        # no keyframe while lost: need_new_kf(res) would consume the diverged
+        # hypothesis's flow/affine stats and the KF would pin an unverified
+        # pose into the window — defer until a track with res.ok succeeds
+        make_kf = (not self._lost) and (
+            self.window.need_new_kf(res)
+            or self._frames_since_kf >= self.cfg.bundles.min_frames)
         if make_kf:
             self._add_keyframe(img, T_wc, time, res)
             self._frames_since_kf = 0
@@ -238,8 +308,8 @@ class EDSPipeline:
             self.recorder = Recorder(self.cfg.recorder)
 
     # ------------------------------------------------------------------
-    def process_frame(self, img, time: float):
-        T_wc = self.frame_pipe.process_frame(img, time)
+    def process_frame(self, img, time: float, depth_map=None):
+        T_wc = self.frame_pipe.process_frame(img, time, depth_map=depth_map)
         if self.frame_pipe._initialized and (self.kf is None
                                              or self._pending_kf):
             self._make_event_keyframe(img, time, T_wc)
@@ -351,6 +421,9 @@ class EDSPipeline:
             jnp.asarray(packet.n_valid),
             self.cam.height, self.cam.width,
             num_levels=self.cfg.event_frame.num_levels,
+            use_time_weights=self.cfg.event_frame.time_weighted,
+            blur_ksize=self.cfg.event_frame.gaussian_blur_ksize,
+            interpolation=self.cfg.event_frame.interpolation,
             fwd_maps=fwd_maps)
         kf = self.kf
         prev_state = self.tracker_state

@@ -9,11 +9,11 @@ all numerical work stays in the jitted kernels (ops.energy, ops.immature,
 ops.coarse_tracker).
 
 Policy notes vs. the reference:
-* frame marginalization keeps the newest frames and drops frames whose
-  point support fell below ``min_points_remaining`` (setting_
-  minPointsRemaining) — falling back to the oldest frame; DSO's pairwise
-  distance score (which lives in the external FullSystem, not in this
-  repo) is a TODO refinement.
+* frame marginalization keeps the two newest frames, first drops frames
+  whose point support collapsed (setting_minPointsRemaining analog), then
+  applies DSO's pairwise distance score (FullSystem::
+  flagFramesForMarginalization, which lives outside the reference repo)
+  to pick the most redundant remaining frame.
 * point flags follow PointHessian::isOOB/isInlierNew (HessianBlocks.h:
   474-506): points of a dying frame are marginalized if well-constrained,
   dropped otherwise; points with too few residuals are dropped.
@@ -114,6 +114,12 @@ class WindowManager:
             frame_prior_delta0=st.frame_prior_delta0.at[slot].set(0.0),
             frame_valid=st.frame_valid.at[slot].set(True),
             frame_energy_th=st.frame_energy_th.at[slot].set(1e8),
+            # existing active points observe the new keyframe: DSO creates a
+            # residual from every active point to each new KF
+            # (FullSystem::makeKeyFrame "add new residuals for old points");
+            # per-iteration OOB/outlier gating in linearize() prunes bad ones
+            r_active=st.r_active.at[:, slot].set(
+                st.p_status == bs.PT_ACTIVE),
         )
         self.newest_slot = slot
         self._spawn_immature(slot, immature_seed)
@@ -320,6 +326,53 @@ class WindowManager:
         return total
 
     # ------------------------------------------------------------------
+    def activate_seed_points(self, slot: int, uv, idp, mask,
+                             prior: float = 2500.0,
+                             max_new: Optional[int] = None) -> int:
+        """Directly promote externally-seeded points (depth-map / MiDaS
+        bootstrap) into BA point slots with an idepth prior — the analog of
+        FullSystem::initializeFromInitializer creating PointHessians with
+        hasDepthPrior=true (reference seeds immatures from external depth at
+        ImmaturePoint.cpp:68-114; bootstrap selector MiDAS,
+        src/tracking/Config.hpp:39)."""
+        st = self.state
+        free = np.where(np.asarray(st.p_status) == bs.PT_EMPTY)[0]
+        budget = len(free) if max_new is None else min(len(free), max_new)
+        ok = np.asarray(mask) & np.isfinite(np.asarray(idp)) \
+            & (np.asarray(idp) > 1e-4)
+        take = np.where(ok)[0][:budget]
+        if len(take) == 0:
+            return 0
+        dst = jnp.asarray(free[: len(take)])
+        uv_t = jnp.asarray(uv)[jnp.asarray(take)]
+        idp_t = jnp.maximum(jnp.asarray(idp)[jnp.asarray(take)], 1e-4)
+
+        pyr0 = self.pyramids[slot][0]
+        offs = jnp.asarray(image_ops.PATTERN_DSO8, jnp.float32)
+        from ..utils.interp import bilinear_3
+        hit = bilinear_3(pyr0, uv_t[:, 0:1] + offs[None, :, 0],
+                         uv_t[:, 1:2] + offs[None, :, 1])
+        colors = hit[..., 0]
+        g2 = jnp.sum(hit[..., 1:3] ** 2, -1)
+        w = jnp.sqrt(self.cfg.bundles.outlier_th_sum_component
+                     / (self.cfg.bundles.outlier_th_sum_component + g2))
+
+        F = st.num_frames
+        target_mask = st.frame_valid & (jnp.arange(F) != slot)
+        self.state = st._replace(
+            p_host=st.p_host.at[dst].set(slot),
+            p_uv=st.p_uv.at[dst].set(uv_t),
+            p_idepth=st.p_idepth.at[dst].set(idp_t),
+            p_idepth_zero=st.p_idepth_zero.at[dst].set(idp_t),
+            p_color=st.p_color.at[dst].set(colors),
+            p_weight=st.p_weight.at[dst].set(w),
+            p_prior=st.p_prior.at[dst].set(prior),
+            p_status=st.p_status.at[dst].set(bs.PT_ACTIVE),
+            r_active=st.r_active.at[dst].set(target_mask),
+        )
+        return len(take)
+
+    # ------------------------------------------------------------------
     def optimize(self, iterations: Optional[int] = None):
         """Run the window BA (ba_iterate)."""
         H, W = self.cam.height, self.cam.width
@@ -375,7 +428,27 @@ class WindowManager:
             weak = [s for s in candidates
                     if support[s] < self.cfg.bundles.percent_marginalize_vis
                     * max(initial[s], 1) * 0.05]
-            marg_slot = weak[0] if weak else candidates[0]
+            if weak:
+                marg_slot = weak[0]
+            else:
+                # DSO's pairwise distance score (FullSystem::
+                # flagFramesForMarginalization — the external-repo policy the
+                # reference relies on): distScore(i) =
+                # -sqrt(d(i, newest)) * sum_j 1/(1e-5 + d(i, j)) over the
+                # older frames; marginalize the argmax — frames redundant
+                # w.r.t. the spread of the window go first
+                T = st.current_poses()
+                R_wc = np.swapaxes(np.asarray(T.R), -1, -2)
+                t_wc = -np.einsum("fij,fj->fi", R_wc, np.asarray(T.t))
+                newest = self.newest_slot
+                others = [s for s in slots if s != newest]
+                best = -np.inf
+                for i in candidates:
+                    ssum = sum(1.0 / (1e-5 + np.linalg.norm(t_wc[i] - t_wc[j]))
+                               for j in others if j != i)
+                    sc = -np.sqrt(np.linalg.norm(t_wc[i] - t_wc[newest])) * ssum
+                    if sc > best:
+                        best, marg_slot = sc, i
 
         # point flags
         new_status = status.copy()

@@ -59,19 +59,68 @@ def _load_groundtruth(path: str):
     return rows[:, 0], rows[:, 1:4], quats
 
 
-def _camera_from_dataset(d: str, first_img) -> Pinhole:
-    calib_path = os.path.join(d, "calib.yaml")
+def _camera_from_dataset(d: str, first_img):
+    """Resolve the dataset's camera setup. Returns a dict:
+      cam           — the working Pinhole geometry
+      frame_maps    — optional (map_x, map_y) to remap frames into `cam`
+      event_fwd     — optional (fwd_x, fwd_y) per-event undistortion tables
+      photometric   — optional PhotometricCalib (gamma/vignette)
+
+    Three situations, mirroring the reference's calib stack
+    (src/utils/Calib.cpp):
+    * dual rig (`cam0` + `cam1` blocks): both sensors are rectified into the
+      common-view geometry (setNewCamera/getMapping) — frames are remapped,
+      events go through the forward maps;
+    * mono calib (`cam0` only): distortion becomes an image remap + event
+      forward maps into the undistorted pinhole;
+    * no calib: a 90-deg-FOV pinhole fallback.
+    DSO photometric files (`pcalib.txt` gamma, `vignette.png`) are applied
+    to frames when present (PhotometricUndistorter, Undistort.h:40-64)."""
+    import numpy as _np
+    from .utils import calib as cal
+    from .utils.cameras import undistortion_maps, forward_maps
+
     H, W = first_img.shape[:2]
+    out = {"cam": None, "frame_maps": None, "event_fwd": None,
+           "photometric": None}
+    calib_path = os.path.join(d, "calib.yaml")
     if os.path.exists(calib_path):
-        from .utils.calib import read_camera_calib
-        info = read_camera_calib(calib_path)
-        fx, fy, cx, cy = info.intrinsics
-        return Pinhole(jnp.float32(fx), jnp.float32(fy),
-                       jnp.float32(cx), jnp.float32(cy), W, H)
-    # no calib shipped: assume a 90-deg FOV pinhole (documented fallback)
-    f = 0.5 * W
-    return Pinhole(jnp.float32(f), jnp.float32(f),
-                   jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+        import yaml
+        with open(calib_path) as f:
+            data = yaml.safe_load(f) or {}
+        if "cam0" in data and "cam1" in data:
+            dual = cal.read_dual_calibration(data)
+            maps = cal.dual_mappings(dual)
+            out["cam"] = maps["out"]
+            out["frame_maps"] = (maps["frame_map_x"], maps["frame_map_y"])
+            out["event_fwd"] = (maps["event_fwd_x"], maps["event_fwd_y"])
+        else:
+            info = cal.read_camera_calib(data)
+            model = info.to_model()
+            if info.distortion_model not in ("none", ""):
+                pin = model.pinhole
+                out["cam"] = pin
+                out["frame_maps"] = undistortion_maps(model)
+                out["event_fwd"] = forward_maps(model)
+            else:
+                fx, fy, cx, cy = info.intrinsics
+                out["cam"] = Pinhole(jnp.float32(fx), jnp.float32(fy),
+                                     jnp.float32(cx), jnp.float32(cy), W, H)
+    if out["cam"] is None:
+        # no calib shipped: assume a 90-deg FOV pinhole (documented fallback)
+        f = 0.5 * W
+        out["cam"] = Pinhole(jnp.float32(f), jnp.float32(f),
+                             jnp.float32(W / 2 - 0.5),
+                             jnp.float32(H / 2 - 0.5), W, H)
+    pcal = os.path.join(d, "pcalib.txt")
+    if os.path.exists(pcal):
+        gamma = _np.loadtxt(pcal)
+        vig = None
+        vpath = os.path.join(d, "vignette.png")
+        if os.path.exists(vpath):
+            vig = read_png(vpath)
+        out["photometric"] = cal.PhotometricCalib.from_files(gamma, vig)
+    return out
 
 
 def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
@@ -85,7 +134,25 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     if max_frames:
         img_times, img_names = img_times[:max_frames], img_names[:max_frames]
     first = read_png(os.path.join(dataset_dir, img_names[0]))
-    cam = _camera_from_dataset(dataset_dir, first)
+    setup = _camera_from_dataset(dataset_dir, first)
+    cam = setup["cam"]
+    photometric = setup["photometric"]
+    frame_maps = setup["frame_maps"]
+    fwd_maps = setup["event_fwd"]
+    if frame_maps is not None:
+        from .utils.cameras import remap as _remap
+        import jax as _jax
+        _remap_j = _jax.jit(lambda im: _remap(im, frame_maps[0],
+                                              frame_maps[1]))
+
+    def _prep_frame(raw):
+        img = raw
+        if photometric is not None:
+            img = np.asarray(photometric.correct(raw.astype(np.int32)))
+        img = np.asarray(img, np.float32)
+        if frame_maps is not None:
+            img = np.asarray(_remap_j(jnp.asarray(img)))
+        return img
 
     pipe = (FrameOnlyPipeline if frame_only else EDSPipeline)(cam, cfg)
 
@@ -107,7 +174,7 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     n_packets = 0
     ev_times = []
     for k, (t_img, name) in enumerate(zip(img_times, img_names)):
-        img = read_png(os.path.join(dataset_dir, name)).astype(np.float32)
+        img = _prep_frame(read_png(os.path.join(dataset_dir, name)))
         pipe.process_frame(img, float(t_img))
         if ring is None:
             continue
@@ -126,7 +193,7 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
                 break
             from .io.dataset import EventPacket
             packet = EventPacket(xs, ys, ts.astype(np.float32), ps, n)
-            T = pipe.process_events(packet)
+            T = pipe.process_events(packet, fwd_maps=fwd_maps)
             n_packets += 1
             if T is not None:
                 ev_times.append(med)
@@ -149,8 +216,12 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     gt_path = os.path.join(dataset_dir, "groundtruth.txt")
     if os.path.exists(gt_path) and len(est) > 4:
         gt_t, gt_xyz, gt_q = _load_groundtruth(gt_path)
-        # associate by frame timestamps
-        idx = np.searchsorted(gt_t, img_times[: len(est)])
+        # associate by the timestamps recorded with each trajectory entry —
+        # the bootstrap can consume several frames while appending only two
+        # entries, so img_times[:len(est)] would be shifted by the bootstrap
+        # length (round-2 advisor finding)
+        est_t = np.asarray(fp.times[: len(est)], np.float64)
+        idx = np.searchsorted(gt_t, est_t)
         idx = np.clip(idx, 0, len(gt_t) - 1)
         out["ate_rmse"] = float(ate_rmse(jnp.asarray(est),
                                          jnp.asarray(gt_xyz[idx])))

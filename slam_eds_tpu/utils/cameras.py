@@ -221,6 +221,17 @@ def forward_maps(cam: CameraModel, out: Optional[Pinhole] = None):
     return out.fx * xy[..., 0] + out.cx, out.fy * xy[..., 1] + out.cy
 
 
+def remap(img, map_x, map_y):
+    """Bilinear image remap: out[v, u] = img(map_x[v,u], map_y[v,u]) —
+    the ``cv::remap`` consumer of undistortion_maps (undistortion /
+    rectification into a new geometry, src/utils/Calib.cpp getMapping use).
+    Out-of-source samples clamp to the border."""
+    from .interp import bilinear
+    H, W = map_x.shape
+    return bilinear(jnp.asarray(img, jnp.float32),
+                    map_x.ravel(), map_y.ravel()).reshape(H, W)
+
+
 def gamma_inverse_table(gamma_values):
     """Build the inverse response table Binv[256] from a response G[256]
     (photometric undistorter, reference src/utils/Undistort.h:40-64 and

@@ -110,7 +110,8 @@ def undistort_events(xs, ys, fwd_map_x, fwd_map_y):
 def build_event_frame(xs, ys, polarities, n_valid, height: int, width: int,
                       num_levels: int = 1, use_time_weights: bool = True,
                       blur_sigma: float = 0.5, blur_ksize: int = 3,
-                      norm_eps: float = 1e-12):
+                      norm_eps: float = 1e-12,
+                      interpolation: str = "bilinear"):
     """Full EventFrame raster pipeline (EventFrame.cpp:262-292):
 
     1. bilinear scatter of ±1 polarities with Gaussian time weights
@@ -128,8 +129,9 @@ def build_event_frame(xs, ys, polarities, n_valid, height: int, width: int,
     values = polarities.astype(jnp.float32)
     if use_time_weights:
         values = values * event_time_weights(n_valid, capacity)
-    img = scatter_accumulate(xs, ys, values, height, width, mask=mask)
-    if blur_sigma > 0:
+    img = scatter_accumulate(xs, ys, values, height, width, mask=mask,
+                             method=interpolation)
+    if blur_sigma > 0 and blur_ksize > 0:   # ksize 0 disables (config)
         img = image_ops.gaussian_blur(img, blur_ksize, blur_sigma)
 
     frames = [img]

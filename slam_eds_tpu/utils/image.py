@@ -172,3 +172,56 @@ def erode3(img, iters: int = 1):
     for _ in range(iters):
         img = one(img)
     return img
+
+
+# ---------------------------------------------------------------------------
+# Patch utilities (reference src/utils/Utils.cpp:608-734)
+# ---------------------------------------------------------------------------
+
+def split_image_in_patches(img, uv, patch_radius: int):
+    """Per-point square patches around (sub-pixel) centers uv [N, 2] —
+    ``eds::utils::splitImageInPatches`` (Utils.cpp:608-661). Returns
+    ([N, S, S] patches, [N] in-bounds mask) with S = 2*patch_radius+1,
+    bilinear-sampled so sub-pixel centers behave like the reference's
+    cv::getRectSubPix. One fused gather instead of a per-point loop."""
+    from .interp import bilinear
+    S = 2 * patch_radius + 1
+    d = jnp.arange(S, dtype=img.dtype) - patch_radius
+    gx = uv[:, 0:1, None] + d[None, None, :]      # [N, 1, S]
+    gy = uv[:, 1:2, None] + d[None, None, :]      # [N, 1, S]
+    xs = jnp.broadcast_to(gx, (uv.shape[0], S, S))
+    ys = jnp.broadcast_to(jnp.swapaxes(gy, 1, 2), (uv.shape[0], S, S))
+    H, W = img.shape[:2]
+    ok = (uv[:, 0] >= patch_radius) & (uv[:, 1] >= patch_radius) \
+        & (uv[:, 0] <= W - 1 - patch_radius) \
+        & (uv[:, 1] <= H - 1 - patch_radius)
+    vals = bilinear(img, xs.reshape(-1), ys.reshape(-1)).reshape(
+        uv.shape[0], S, S)
+    return vals, ok
+
+
+def pyramid_patches(pyr_levels, uv, patch_radius: int):
+    """Patches of the same points across a pyramid — ``pyramidPatches``
+    (Utils.cpp:662-674): level-l centers are uv / 2^l. Returns a list of
+    ([N, S, S], [N]) per level."""
+    out = []
+    for l, img in enumerate(pyr_levels):
+        out.append(split_image_in_patches(img, uv / (2.0 ** l), patch_radius))
+    return out
+
+
+def compute_bundle_patches(img, uv):
+    """DSO 8-point residual-pattern samples per point —
+    ``computeBundlePatches`` (Utils.cpp:675-734). Returns ([N, 8] colors,
+    [N] mask)."""
+    from .interp import bilinear
+    offs = jnp.asarray(PATTERN_DSO8, img.dtype)
+    xs = uv[:, 0:1] + offs[None, :, 0]
+    ys = uv[:, 1:2] + offs[None, :, 1]
+    H, W = img.shape[:2]
+    ok = (uv[:, 0] >= PATTERN_PAD) & (uv[:, 1] >= PATTERN_PAD) \
+        & (uv[:, 0] <= W - 1 - PATTERN_PAD) \
+        & (uv[:, 1] <= H - 1 - PATTERN_PAD)
+    vals = bilinear(img, xs.reshape(-1), ys.reshape(-1)).reshape(
+        uv.shape[0], PATTERN_NUM)
+    return vals, ok

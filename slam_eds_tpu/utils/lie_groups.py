@@ -124,14 +124,16 @@ def _sim3_W(w, sigma):
     A_main = (es * (sigma * sin_t - theta * cos_t) + theta) / (theta * safe_denom)
     # theta -> 0, sigma != 0:  A = (e^sigma (sigma - 1) + 1)/sigma^2
     A_st = (es * (sigma - 1.0) + 1.0) / jnp.where(small_s, 1.0, sigma2)
-    A_both = jnp.asarray(0.5, dtype) + sigma / 6.0
+    # theta,sigma -> 0: expand (e^s(s-1)+1)/s^2 = 1/2 + s/3 + O(s^2)
+    A_both = jnp.asarray(0.5, dtype) + sigma / 3.0
     A = jnp.where(small_t, jnp.where(small_s, A_both, A_st), A_main)
 
     B_main = (C - (es * (sigma * cos_t + theta * sin_t) - sigma)
               / safe_denom) / jnp.where(small_t, 1.0, theta2)
     # theta -> 0, sigma != 0:  B = (e^sigma(sigma^2/2 - sigma + 1) - 1)/sigma^3
     B_st = (es * (0.5 * sigma2 - sigma + 1.0) - 1.0) / jnp.where(small_s, 1.0, sigma2 * sigma)
-    B_both = jnp.asarray(1.0 / 6.0, dtype) + sigma / 24.0
+    # theta,sigma -> 0: expand (e^s(s^2/2-s+1)-1)/s^3 = 1/6 + s/8 + O(s^2)
+    B_both = jnp.asarray(1.0 / 6.0, dtype) + sigma / 8.0
     B = jnp.where(small_t, jnp.where(small_s, B_both, B_st), B_main)
 
     W = hat(w)

@@ -76,3 +76,44 @@ def test_pattern_dso8():
     assert image.PATTERN_DSO8.shape == (8, 2)
     assert (np.abs(image.PATTERN_DSO8) <= image.PATTERN_PAD).all()
     assert [0, 0] in image.PATTERN_DSO8.tolist()
+
+
+def test_split_image_in_patches():
+    """splitImageInPatches parity (Utils.cpp:608-661): integer centers give
+    exact crops; border points are masked."""
+    from slam_eds_tpu.utils.image import split_image_in_patches
+    img = jnp.asarray(np.arange(20 * 30, dtype=np.float32).reshape(20, 30))
+    uv = jnp.asarray([[5.0, 7.0], [1.0, 1.0], [28.0, 18.0]])
+    patches, ok = split_image_in_patches(img, uv, patch_radius=2)
+    assert patches.shape == (3, 5, 5)
+    ref = np.asarray(img)[5:10, 3:8]
+    assert np.allclose(patches[0], ref)
+    assert bool(ok[0]) and not bool(ok[1]) and not bool(ok[2])
+
+
+def test_pyramid_patches_levels():
+    from slam_eds_tpu.utils.image import build_pyramid, pyramid_patches
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
+    pyr, _ = build_pyramid(img, 3)
+    levels = [l[..., 0] for l in pyr]
+    uv = jnp.asarray([[32.0, 32.0], [16.0, 48.0]])
+    out = pyramid_patches(levels, uv, patch_radius=1)
+    assert len(out) == 3
+    for l, (p, ok) in enumerate(out):
+        assert p.shape == (2, 3, 3)
+        # center tap equals direct image lookup at uv / 2^l
+        c = np.asarray(levels[l])[int(32 / 2 ** l), int(32 / 2 ** l)]
+        assert abs(float(p[0, 1, 1]) - float(c)) < 1e-4
+
+
+def test_compute_bundle_patches():
+    """computeBundlePatches (Utils.cpp:675-734): DSO 8-pattern colors."""
+    from slam_eds_tpu.utils.image import (compute_bundle_patches,
+                                          PATTERN_DSO8)
+    img = jnp.asarray(np.arange(16 * 16, dtype=np.float32).reshape(16, 16))
+    uv = jnp.asarray([[8.0, 8.0]])
+    vals, ok = compute_bundle_patches(img, uv)
+    assert vals.shape == (1, 8) and bool(ok[0])
+    for k, (dx, dy) in enumerate(PATTERN_DSO8):
+        assert float(vals[0, k]) == float(img[8 + dy, 8 + dx])

@@ -114,3 +114,34 @@ def test_kf_selection_criteria():
     # translation: ||t|| > 5cm (Utils.hpp:310-315)
     assert not bool(kfm.kf_selection_translation(small))
     assert bool(kfm.kf_selection_translation(big_t))
+
+
+def test_idepth_map_from_depth_image():
+    """IDepthMap-from-depth-image conversion (mapping/Types.hpp:109-276)."""
+    from slam_eds_tpu.models.keyframe import idepth_map_from_depth_image
+    d = np.full((32, 40), 2.0, np.float32)
+    d[0, 0] = -1.0         # invalid
+    d[4, 8] = 4.0
+    uv, idp, mask = idepth_map_from_depth_image(jnp.asarray(d), stride=4)
+    uv, idp, mask = map(np.asarray, (uv, idp, mask))
+    assert uv.shape[0] == 8 * 10
+    assert not mask[0]                     # the invalid corner
+    i = np.where((uv[:, 0] == 8) & (uv[:, 1] == 4))[0][0]
+    assert mask[i] and abs(idp[i] - 0.25) < 1e-6
+    assert np.allclose(idp[mask][idp[mask] != 0.25], 0.5)
+
+
+def test_idepth_map_from_pointcloud():
+    from slam_eds_tpu.models.keyframe import idepth_map_from_pointcloud
+    from slam_eds_tpu.utils.cameras import Pinhole
+    from slam_eds_tpu.utils.lie import SE3
+    cam = Pinhole(jnp.float32(100.0), jnp.float32(100.0), jnp.float32(31.5),
+                  jnp.float32(23.5), 64, 48)
+    Xw = jnp.asarray([[0.0, 0.0, 2.0],     # center, depth 2
+                      [0.0, 0.0, -1.0],    # behind camera
+                      [10.0, 0.0, 2.0]])   # projects far outside
+    uv, idp, mask = idepth_map_from_pointcloud(Xw, SE3.identity(), cam)
+    uv, idp, mask = map(np.asarray, (uv, idp, mask))
+    assert mask[0] and not mask[1] and not mask[2]
+    assert np.allclose(uv[0], [31.5, 23.5], atol=1e-4)
+    assert abs(idp[0] - 0.5) < 1e-6

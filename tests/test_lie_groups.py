@@ -101,3 +101,29 @@ def test_sim3_reduces_to_se3():
     assert np.allclose(g.R, e.R, atol=1e-6)
     assert np.allclose(g.t, e.t, atol=1e-6)
     assert np.allclose(g.s, 1.0, atol=1e-6)
+
+
+def test_sim3_W_taylor_branch():
+    """theta^2, sigma^2 < 1e-8 take the double-Taylor branch of _sim3_W;
+    its first-order coefficients must match the series of the closed forms
+    A = (e^s(s-1)+1)/s^2 = 1/2 + s/3 + s^2/8 + ...
+    B = (e^s(s^2/2-s+1)-1)/s^3 = 1/6 + s/8 + s^2/20 + ...
+    (round-2 advisor finding). Run in f64 so B is resolvable from W."""
+    jax.config.update("jax_enable_x64", True)
+    try:
+        th = 9e-5  # near the branch edge: first-order term matters most
+        w = jnp.asarray([th, 0.0, 0.0], jnp.float64)
+        for s in (1e-5, -1e-5, 9e-5, -9e-5):
+            W = np.asarray(_sim3_W(w, jnp.asarray(s, jnp.float64)))
+            # W = C I + A w^ + B w^2 with w = [th,0,0]:
+            #   W[2,1] = A th,  W[0,0]-W[1,1] = B th^2
+            A = W[2, 1] / th
+            B = (W[0, 0] - W[1, 1]) / th ** 2
+            # branch is first-order: allow its s^2/8 ~ 1e-9 truncation;
+            # the s/6-vs-s/3 bug would be >= 1.6e-6
+            assert abs(A - (0.5 + s / 3.0 + s * s / 8.0)) < 1e-8, (s, A)
+            # extraction floor: B comes from cancelling two ~1.0 entries of
+            # W (eps/theta^2 ~ 3e-8); the s/24-vs-s/8 bug would be >= 8e-7
+            assert abs(B - (1.0 / 6.0 + s / 8.0 + s * s / 20.0)) < 5e-8, (s, B)
+    finally:
+        jax.config.update("jax_enable_x64", False)

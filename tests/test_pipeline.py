@@ -103,3 +103,78 @@ def test_eds_pipeline_full_loop(seq):
     err = float(ate_rmse(jnp.asarray(np.stack(ev_pos)),
                          jnp.asarray(np.stack(ev_gt))))
     assert err < 0.12, err
+
+
+def test_midas_depth_bootstrap(seq):
+    """Reference bootstrap path C (MiDAS selector, tracking/Config.hpp:39):
+    an external depth map seeds the first keyframe's structure directly —
+    no two-view parallax needed. GT depth stands in for the net output."""
+    import dataclasses
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg, tracker=dataclasses.replace(cfg.tracker, bootstrap="midas"))
+    pipe = FrameOnlyPipeline(CAM, cfg)
+    t0, img0, depth0 = seq.frame(0)
+    pipe.process_frame(img0, t0, depth_map=depth0)
+    assert pipe._initialized, "depth-map bootstrap failed"
+    # initialized from ONE frame (unlike two-view paths)
+    assert len(pipe.poses) == 1 and pipe.times == [t0]
+    for k in range(1, 10):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+    est = pipe.positions()
+    gt = seq.gt_positions()[: len(est)]
+    assert len(est) == 10
+    err = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt)))
+    assert err < 0.05, err
+
+
+def test_new_keyframe_extends_residuals(seq):
+    """Active points must observe keyframes inserted AFTER their activation
+    (FullSystem::makeKeyFrame adds residuals from old points to the new KF)."""
+    from slam_eds_tpu.models import ba_state as bs
+    pipe = FrameOnlyPipeline(CAM, small_config())
+    for k in range(seq.num_frames):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+    assert pipe._initialized
+    st = pipe.window.state
+    active = np.asarray(st.p_status) == bs.PT_ACTIVE
+    newest = pipe.window.newest_slot
+    hosted_elsewhere = active & (np.asarray(st.p_host) != newest)
+    assert hosted_elsewhere.sum() > 0
+    # structurally active toward the newest slot for non-hosted points
+    frac = np.asarray(st.r_active)[hosted_elsewhere, newest].mean()
+    assert frac > 0.9, frac
+
+
+def test_tracking_failure_holds_motion_and_defers_kf(seq):
+    """On total tracking failure the pipeline must hold the constant-velocity
+    model (not collapse _motion to identity) and defer keyframe insertion
+    until a verified track (round-2 advisor findings)."""
+    pipe = FrameOnlyPipeline(CAM, small_config())
+    for k in range(6):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+    assert pipe._initialized and not pipe._lost
+    motion_before = np.asarray(pipe._motion.log())
+    kfs_before = pipe.window.next_id
+    n_before = len(pipe.poses)
+    # feed garbage frames: tracking cannot succeed on white noise
+    rng = np.random.default_rng(0)
+    for j in range(3):
+        noise = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        pipe.process_frame(noise, 0.5 + 0.01 * j)
+    assert pipe._lost, "garbage frames should trip the lost state"
+    # motion hypothesis preserved exactly (constant-velocity hold)
+    assert np.allclose(np.asarray(pipe._motion.log()), motion_before)
+    # no keyframe was inserted while lost
+    assert pipe.window.next_id == kfs_before
+    # poses still appended (held prediction), timestamps recorded
+    assert len(pipe.poses) == n_before + 3
+    assert len(pipe.times) == len(pipe.poses)
+    # recovery: real frames again -> lost clears once a track verifies
+    for k in range(6, 9):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+    assert not pipe._lost

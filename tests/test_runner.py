@@ -78,3 +78,42 @@ def test_runner_end_to_end(tmp_path):
     # recorder produced TUM files with the event poses
     poses = open(tmp_path / "out" / "poses.txt").read().strip()
     assert len(poses.split("\n")) >= 3
+
+
+def test_runner_dual_rig(tmp_path):
+    """Dual frame+event rig: calib.yaml with cam0+cam1 blocks routes through
+    the common-view rectification (setNewCamera/getMapping) — frames are
+    remapped, events run through the forward maps."""
+    from slam_eds_tpu.runner import run_sequence
+
+    seq = SyntheticSequence(CAM, num_frames=8, events_per_packet=8192,
+                            motion_scale=0.35)
+    d = str(tmp_path / "seq")
+    _export(seq, d)
+    with open(os.path.join(d, "calib.yaml"), "w") as fc:
+        fc.write("cam0:\n"
+                 "  intrinsics: [110.0, 110.0, 63.5, 47.5]\n"
+                 f"  resolution: [{W}, {H}]\n"
+                 "  distortion_model: radtan\n"
+                 "  distortion_coeffs: [0, 0, 0, 0]\n"
+                 "cam1:\n"
+                 "  intrinsics: [110.0, 110.0, 63.5, 47.5]\n"
+                 f"  resolution: [{W}, {H}]\n"
+                 "  distortion_model: none\n"
+                 "  T_cn_cnm1: [[1, 0, 0, 0], [0, 1, 0, 0],\n"
+                 "              [0, 0, 1, 0], [0, 0, 0, 1]]\n")
+
+    cfg = load_config({
+        "caps": {"max_points_per_kf": 512, "max_immature_per_kf": 512,
+                 "max_window_frames": 6, "max_events": 8192},
+        "bundles": {"window_size": 4, "min_frames": 3},
+        "coarse": {"pyr_levels": 4, "max_iterations": [10, 20, 30, 30]},
+        "selector": {"desired_immature_density": 400.0,
+                     "desired_point_density": 300.0},
+        "event_frame": {"num_levels": 2, "events_per_frame": 8192},
+        "tracker": {"max_iterations": [15, 10]},
+    })
+    res = run_sequence(d, cfg, verbose=False)
+    assert res["frames"] == 8
+    assert res["packets"] >= 2
+    assert "ate_rmse" in res and res["ate_rmse"] < 0.2, res.get("ate_rmse")

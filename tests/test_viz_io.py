@@ -217,3 +217,23 @@ def test_png_read_external_encoder(tmp_path):
     p2 = str(tmp_path / "ext_rgb.png")
     assert cv2.imwrite(p2, rgb[..., ::-1])   # cv2 writes BGR
     np.testing.assert_array_equal(read_png(p2), rgb)
+
+
+def test_radius_outlier_removal():
+    """SOR map filtering (MappingConfig.sor_*, PCL radius outlier removal):
+    a dense cluster survives, an isolated point does not."""
+    from slam_eds_tpu.io.output_maps import radius_outlier_removal
+    rng = np.random.default_rng(0)
+    cluster = rng.normal(0, 0.02, (40, 3)).astype(np.float32)
+    lone = np.asarray([[5.0, 5.0, 5.0]], np.float32)
+    xyz = jnp.asarray(np.concatenate([cluster, lone]))
+    valid = jnp.ones(41, bool)
+    keep = np.asarray(radius_outlier_removal(xyz, valid, nb_points=5,
+                                             radius=0.1))
+    assert keep[:40].all()
+    assert not keep[40]
+    # invalid points never count as neighbors nor survive
+    valid2 = valid.at[:20].set(False)
+    keep2 = np.asarray(radius_outlier_removal(xyz, valid2, nb_points=30,
+                                              radius=1.0))
+    assert not keep2[:20].any()
