@@ -170,38 +170,72 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
                       rows[:, 2].astype(np.float32), rows[:, 0],
                       np.where(rows[:, 3] > 0, 1.0, -1.0).astype(np.float32))
 
+    from .io import frame_loader as fl
+    from .io.dataset import EventPacket
+    cap = cfg.event_frame.events_per_frame
+    use_native = fl.available()
+    loader = fl.FrameLoader(
+        [os.path.join(dataset_dir, n) for n in img_names],
+        n_threads=2, depth=4) if use_native else None
+
+    def _frame(k):
+        # prefetched native decode when available (decode overlaps compute)
+        if loader is not None:
+            return _prep_frame(loader.next())
+        return _prep_frame(read_png(os.path.join(dataset_dir, img_names[k])))
+
+    def _events(xs, ys, ts, ps, n, med):
+        nonlocal n_packets
+        packet = EventPacket(xs, ys, ts.astype(np.float32), ps, n)
+        T = pipe.process_events(packet, fwd_maps=fwd_maps)
+        n_packets += 1
+        if T is not None:
+            ev_times.append(med)
+
     t_start = time.perf_counter()
     n_packets = 0
     ev_times = []
-    for k, (t_img, name) in enumerate(zip(img_times, img_names)):
-        img = _prep_frame(read_png(os.path.join(dataset_dir, name)))
-        pipe.process_frame(img, float(t_img))
-        if ring is None:
-            continue
-        if eb.available():
-            reader.pump(ring, 1 << 16)   # keep the ring topped up
-        if k + 1 >= len(img_times):
-            continue
-        # time-sliced packets: all events up to the next frame, in chunks of
-        # at most events_per_frame (the reference driver's packetization —
-        # events between consecutive frames tracked against the last KF)
-        t_next = float(img_times[k + 1])
-        cap = cfg.event_frame.events_per_frame
+    if use_native and isinstance(ring, eb.EventRing):
+        # native dataflow: the C++ SequenceScheduler owns the frame/packet
+        # interleave and tops the ring up from the reader itself
+        sched = fl.SequenceScheduler(ring, reader, img_times, cap,
+                                     min_events=64)
         while True:
-            xs, ys, ts, ps, n, med = ring.pop_until(t_next, cap)
-            if n < 64:       # too thin to rasterize a usable event frame
+            kind, payload = sched.next()
+            if kind == fl.DONE:
                 break
-            from .io.dataset import EventPacket
-            packet = EventPacket(xs, ys, ts.astype(np.float32), ps, n)
-            T = pipe.process_events(packet, fwd_maps=fwd_maps)
-            n_packets += 1
-            if T is not None:
-                ev_times.append(med)
-            if n < cap:      # interval drained
-                break
-        if verbose and k % 10 == 0:
-            print(f"[runner] frame {k}/{len(img_names)} "
-                  f"packets={n_packets}")
+            if kind == fl.FRAME:
+                k = payload
+                pipe.process_frame(_frame(k), float(img_times[k]))
+                if verbose and k % 10 == 0:
+                    print(f"[runner] frame {k}/{len(img_names)} "
+                          f"packets={n_packets}")
+            else:
+                _events(*payload)
+    else:
+        for k, t_img in enumerate(img_times):
+            pipe.process_frame(_frame(k), float(t_img))
+            if ring is None:
+                continue
+            if eb.available() and reader is not None:
+                reader.pump(ring, 1 << 16)   # keep the ring topped up
+            if k + 1 >= len(img_times):
+                continue
+            # time-sliced packets: all events up to the next frame, in
+            # chunks of at most events_per_frame (the reference driver's
+            # packetization — events between consecutive frames tracked
+            # against the last KF)
+            t_next = float(img_times[k + 1])
+            while True:
+                xs, ys, ts, ps, n, med = ring.pop_until(t_next, cap)
+                if n < 64:   # too thin to rasterize a usable event frame
+                    break
+                _events(xs, ys, ts, ps, n, med)
+                if n < cap:  # interval drained
+                    break
+            if verbose and k % 10 == 0:
+                print(f"[runner] frame {k}/{len(img_names)} "
+                      f"packets={n_packets}")
     wall = time.perf_counter() - t_start
 
     out = {
