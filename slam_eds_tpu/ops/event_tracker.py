@@ -229,16 +229,14 @@ class _Carry(NamedTuple):
     done: jax.Array
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "loss_kind",
-                                   "norm_event"))
-def optimize(state: TrackerState, event_frame, cam: Pinhole,
-             norm_coord, grad, idp, weights, mask,
-             max_iterations: int = 20, loss_kind: str = "huber",
-             loss_scale=0.2, function_tolerance: float = 1e-6,
-             norm_event: bool = False) -> TrackerResult:
-    """One pyramid-level solve (Tracker::optimize). Returns the optimized
-    state, final residuals, and the MAD-refreshed loss scale.
-    norm_event selects the PhotometricErrorNC cost (see event_residuals)."""
+def _lm_solve(state: TrackerState, event_frame, cam: Pinhole,
+              norm_coord, grad, idp, weights, mask,
+              max_iterations, loss_kind: str,
+              loss_scale, function_tolerance: float,
+              norm_event: bool) -> TrackerResult:
+    """LM loop shared by ``optimize`` (one level, static iteration cap) and
+    ``optimize_pyramid`` (fused scan over levels, traced caps).
+    ``max_iterations`` and ``loss_scale`` may be traced values."""
     dtype = norm_coord.dtype
     loss_scale = jnp.asarray(loss_scale, dtype)
 
@@ -301,6 +299,45 @@ def optimize(state: TrackerState, event_frame, cam: Pinhole,
                          loss_scale=new_scale)
 
 
+@partial(jax.jit, static_argnames=("max_iterations", "loss_kind",
+                                   "norm_event"))
+def optimize(state: TrackerState, event_frame, cam: Pinhole,
+             norm_coord, grad, idp, weights, mask,
+             max_iterations: int = 20, loss_kind: str = "huber",
+             loss_scale=0.2, function_tolerance: float = 1e-6,
+             norm_event: bool = False) -> TrackerResult:
+    """One pyramid-level solve (Tracker::optimize). Returns the optimized
+    state, final residuals, and the MAD-refreshed loss scale.
+    norm_event selects the PhotometricErrorNC cost (see event_residuals)."""
+    return _lm_solve(state, event_frame, cam, norm_coord, grad, idp,
+                     weights, mask, max_iterations, loss_kind, loss_scale,
+                     function_tolerance, norm_event)
+
+
+@partial(jax.jit, static_argnames=("loss_kind", "norm_event"))
+def _pyramid_fused(state: TrackerState, event_frames, cam: Pinhole,
+                   norm_coord, grad, idp, weights, mask,
+                   iters_per_level, loss_kind: str, loss_scale,
+                   norm_event: bool) -> TrackerResult:
+    """Coarse-to-fine solve over all levels in ONE dispatch: a lax.scan
+    whose carry chains (pose state, MAD loss scale) through the levels.
+    ``iters_per_level`` [L] is data, so changing the iteration schedule
+    does not recompile (and the ~ms-scale per-dispatch host latency of a
+    tunneled TPU is paid once per packet instead of once per level)."""
+    def step(carry, inp):
+        st, scale = carry
+        ef_l, iters = inp
+        res = _lm_solve(st, ef_l, cam, norm_coord, grad, idp, weights,
+                        mask, iters, loss_kind, scale, 1e-6, norm_event)
+        return (res.state, res.loss_scale), res
+
+    # scan runs coarse -> fine (levels are stored fine-first)
+    (_, _), results = jax.lax.scan(
+        step, (state, jnp.asarray(loss_scale, norm_coord.dtype)),
+        (event_frames[::-1], iters_per_level[::-1]))
+    return jax.tree_util.tree_map(lambda x: x[-1], results)
+
+
 def optimize_pyramid(state: TrackerState, event_frames, cam: Pinhole,
                      norm_coord, grad, idp, weights, mask,
                      iterations_per_level, loss_kind: str = "huber",
@@ -308,17 +345,13 @@ def optimize_pyramid(state: TrackerState, event_frames, cam: Pinhole,
     """Coarse-to-fine over the event-frame morphological levels (the
     reference's per-level max_num_iterations list; all levels share the
     full camera resolution, EventFrame levels are blur variants)."""
-    result = None
     n_levels = event_frames.shape[0]
-    for lvl in range(n_levels - 1, -1, -1):
-        its = iterations_per_level[min(lvl, len(iterations_per_level) - 1)]
-        result = optimize(state, event_frames[lvl], cam, norm_coord, grad,
-                          idp, weights, mask, max_iterations=its,
-                          loss_kind=loss_kind, loss_scale=loss_scale,
-                          norm_event=norm_event)
-        state = result.state
-        loss_scale = result.loss_scale
-    return result
+    its = jnp.asarray(
+        [iterations_per_level[min(lvl, len(iterations_per_level) - 1)]
+         for lvl in range(n_levels)], jnp.int32)
+    return _pyramid_fused(state, event_frames, cam, norm_coord, grad, idp,
+                          weights, mask, its, loss_kind, loss_scale,
+                          norm_event)
 
 
 def pose_kf_ef(state: TrackerState) -> SE3:
