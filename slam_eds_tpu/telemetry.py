@@ -54,3 +54,28 @@ class Telemetry:
         out = dict(self.counters)
         out.update({k: round(v, 6) for k, v in self.sums.items()})
         return out
+
+
+class profile_trace:
+    """Context manager around ``jax.profiler.trace`` — captures an XLA/TPU
+    device trace (per-kernel timing, HBM traffic) viewable in TensorBoard
+    or Perfetto. The TPU-native replacement for the reference's std::chrono
+    spot timers (SURVEY §5 aux-subsystems note): the profiler attributes
+    time to individual fused kernels instead of whole solver calls.
+
+        with telemetry.profile_trace("/tmp/trace"):
+            pipe.process_events(packet)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
