@@ -19,12 +19,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Persistent compile cache: the BA step is a large XLA program; caching its
-# executable makes fresh-process bench runs start in seconds instead of
-# recompiling (first-ever run still pays the compile).
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compile cache (fingerprinted by host CPU — a cache carried
+# across machines would load mismatched AOT code; compile_cache.py): caching
+# the BA executable makes fresh-process bench runs start in seconds.
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from slam_eds_tpu.compile_cache import setup_cache  # noqa: E402
+
+setup_cache(os.path.dirname(os.path.abspath(__file__)))
 
 
 def build_problem():

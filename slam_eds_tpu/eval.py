@@ -68,6 +68,26 @@ def batched_event_solves(states: et.TrackerState, event_frames, cam: Pinhole,
                          weights, mask, ls)
 
 
+@partial(jax.jit, static_argnames=("height", "width", "iterations"))
+def batched_ba_windows(states, target_images, height: int, width: int,
+                       iterations: int = 6):
+    """vmap of the full keyframe-BA GN loop (ops/energy.ba_iterate) over a
+    leading batch axis B — B independent sliding windows (e.g. one per
+    replayed sequence) advance in one MXU-shaped program.
+
+    states: BAState with every leaf batched [B, ...]; target_images
+    [B, F, H, W, 3]. Returns (batched BAState, energies [B]).
+    """
+    from .ops import energy
+
+    def one(st, im):
+        st2, e, _ = energy.ba_iterate(st, im, height, width,
+                                      iterations=iterations)
+        return st2, e
+
+    return jax.vmap(one)(states, target_images)
+
+
 # ---------------------------------------------------------------------------
 # Multi-sequence driver
 # ---------------------------------------------------------------------------

@@ -20,10 +20,15 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compile cache: the pipeline/BA tests compile large XLA programs
 # (~5 min of compile on a cold run); cache executables across test runs.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# The directory is fingerprinted by host CPU — XLA:CPU cache entries hold
+# AOT machine code and a cache carried across machines causes SIGILL
+# (see slam_eds_tpu/compile_cache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from slam_eds_tpu.compile_cache import setup_cache  # noqa: E402
+
+setup_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

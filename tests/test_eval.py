@@ -76,3 +76,58 @@ def test_evaluate_sequences_aggregates(tmp_path):
         assert res["frames"] == 8
         assert "ate_rmse" in res
         assert "rpe_trans" in res
+
+
+def test_batched_ba_windows_matches_single():
+    """vmapped ba_iterate over B windows == per-window solves."""
+    from slam_eds_tpu.eval import batched_ba_windows
+    from slam_eds_tpu.models import ba_state as bs
+    from slam_eds_tpu.ops import energy
+    from slam_eds_tpu.utils.lie import SE3
+
+    F, P, Hh, Ww, B = 4, 64, 48, 64, 3
+    rng = np.random.default_rng(5)
+
+    def problem(seed):
+        r = np.random.default_rng(seed)
+        st = bs.empty_state(F, P, jnp.asarray([40.0, 40.0, 31.5, 23.5],
+                                              jnp.float32))
+        T = jax.vmap(SE3.exp)(jnp.asarray(
+            r.uniform(-0.02, 0.02, (F, 6)), jnp.float32))
+        uv = jnp.asarray(np.stack([r.uniform(6, Ww - 6, P),
+                                   r.uniform(6, Hh - 6, P)], -1), jnp.float32)
+        st = st._replace(
+            T_eval=T, frame_valid=jnp.ones(F, bool), p_uv=uv,
+            p_idepth=jnp.asarray(r.uniform(0.3, 1.0, P), jnp.float32),
+            p_idepth_zero=jnp.asarray(r.uniform(0.3, 1.0, P), jnp.float32),
+            p_color=jnp.asarray(r.uniform(20, 200, (P, 8)), jnp.float32),
+            p_status=jnp.full((P,), bs.PT_ACTIVE, jnp.int32),
+            r_active=jnp.asarray(np.tile([False] + [True] * (F - 1), (P, 1))),
+            frame_prior=jnp.zeros((F, 8), jnp.float32).at[0, :6].set(1e8))
+        ys, xs = np.mgrid[0:Hh, 0:Ww]
+        base = (np.sin(xs * 0.2 + seed) * np.cos(ys * 0.15) * 80
+                + 120).astype(np.float32)
+        imgs = np.stack([np.stack([base, np.gradient(base, axis=1),
+                                   np.gradient(base, axis=0)], -1)] * F)
+        return st, jnp.asarray(imgs)
+
+    probs = [problem(s) for s in range(B)]
+    states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *[p[0] for p in probs])
+    images = jnp.stack([p[1] for p in probs])
+
+    # one GN step: batched lanes must match per-window solves (the GN
+    # normal systems carry ~1e8 priors, so iterated comparisons amplify
+    # f32 LU differences chaotically — energies are the stable observable)
+    out_states, energies = batched_ba_windows(states, images, Hh, Ww,
+                                              iterations=1)
+    assert energies.shape == (B,)
+    for b in range(B):
+        st_b, e_b, _ = energy.ba_iterate(probs[b][0], probs[b][1], Hh, Ww,
+                                         iterations=1)
+        assert np.allclose(float(energies[b]), float(e_b), rtol=1e-3)
+        assert np.allclose(out_states.p_idepth[b], st_b.p_idepth, atol=1e-2)
+
+    # and per-lane energies must decrease over more iterations
+    _, e3 = batched_ba_windows(states, images, Hh, Ww, iterations=3)
+    assert np.all(np.asarray(e3) < np.asarray(energies) * 1.001)
