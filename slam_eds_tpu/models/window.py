@@ -62,6 +62,17 @@ class WindowManager:
         self.immatures = [None] * F
         self.frame_ids = [-1] * F
         self.frame_times = [0.0] * F
+        # whole-coarse-track and template-build as single jitted programs
+        # (each level's while_loop would otherwise dispatch separately —
+        # ~ms per dispatch through a tunneled TPU)
+        from functools import partial as _partial
+        self._track_coarse_jit = jax.jit(_partial(
+            ct.track_newest_coarse,
+            max_iterations=tuple(self.cfg.coarse.max_iterations),
+            huber_th=self.cfg.coarse.huber_th,
+            cutoff_th=self.cfg.coarse.coarse_cutoff_th))
+        self._build_template_jit = jax.jit(
+            ct.build_template, static_argnames=("caps",))
 
     # ------------------------------------------------------------------
     @property
@@ -508,11 +519,11 @@ class WindowManager:
         ok = active & (X_n[:, 2] > 1e-6) & (u > 1) & (v > 1) \
             & (u < self.cam.width - 2) & (v < self.cam.height - 2)
         uv = jnp.stack([u, v], -1)
-        caps = [min(8192 >> l, max(1,
-                (self.cam.height >> l) * (self.cam.width >> l)))
-                for l in range(self.cfg.coarse.pyr_levels)]
-        self.coarse_templates = ct.build_template(
-            uv, idn, jnp.ones_like(idn), ok, self.pyramids[slot], caps)
+        caps = tuple(min(8192 >> l, max(1,
+                     (self.cam.height >> l) * (self.cam.width >> l)))
+                     for l in range(self.cfg.coarse.pyr_levels))
+        self.coarse_templates = self._build_template_jit(
+            uv, idn, jnp.ones_like(idn), ok, self.pyramids[slot], caps=caps)
 
     def track_frame(self, img, pose_init: SE3, aff_init=(0.0, 0.0),
                     exposure: float = 1.0):
@@ -528,15 +539,12 @@ class WindowManager:
         T_kf = SE3(T.R[slot], T.t[slot])
         ref_to_new = pose_init.compose(T_kf.inverse())
         aff_kf = st.current_aff()[slot]
-        res = ct.track_newest_coarse(
+        res = self._track_coarse_jit(
             self.coarse_templates, pyr, cams, ref_to_new,
             jnp.asarray(aff_init, jnp.float32),
             (st.exposure[slot], jnp.asarray(exposure, jnp.float32)), aff_kf,
             min_res_for_abort=jnp.full((self.cfg.coarse.pyr_levels,), 1e9,
-                                       jnp.float32),
-            max_iterations=self.cfg.coarse.max_iterations,
-            huber_th=self.cfg.coarse.huber_th,
-            cutoff_th=self.cfg.coarse.coarse_cutoff_th)
+                                       jnp.float32))
         T_wc = res.pose.compose(T_kf)
         return res, T_wc
 
