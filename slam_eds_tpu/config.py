@@ -100,6 +100,23 @@ class BundlesConfig:
     overall_energy_th_weight: float = 1.0
     # optimize camera intrinsics (CPARS block)
     optimize_calib: bool = False
+    # keyframe decision (setting_maxShiftWeight*/kfGlobalWeight,
+    # settings.cpp:38-42; per-pixel base, scaled by (640+480)/(w+h))
+    max_shift_weight_t: float = 0.04
+    max_shift_weight_r: float = 0.0
+    max_shift_weight_rt: float = 0.02
+    max_affine_weight: float = 2.0      # setting_maxAffineWeight
+    kf_global_weight: float = 1.0       # >1 takes more keyframes
+    # frame-marginalization policy (settings.cpp:74-80)
+    min_frame_age: int = 1              # setting_minFrameAge
+    min_points_remaining: float = 0.05  # setting_minPointsRemaining
+    max_log_aff_fac_in_window: float = 0.7  # setting_maxLogAffFacInWindow
+    # residual-count floor for point marginalization. The reference's
+    # setting_minGoodResForMarg=4 counts only well-linearized residuals to
+    # surviving frames; we count valid residuals, so the equivalent floor
+    # is lower (2 keeps the same points the reference keeps on its 5-7
+    # frame windows)
+    min_good_res_for_marg: int = 2
 
 
 @dataclass(frozen=True)

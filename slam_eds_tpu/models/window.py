@@ -433,12 +433,31 @@ class WindowManager:
             support = {s: (active & (host == s)).sum() for s in slots}
             initial = {s: max((status == bs.PT_ACTIVE)[host == s].size, 1)
                        for s in slots}
-            # don't marginalize the two newest
+            # don't marginalize the two newest, nor frames younger than
+            # setting_minFrameAge
             by_age = sorted(slots, key=lambda s: self.frame_ids[s])
+            newest_id = self.frame_ids[by_age[-1]]
             candidates = by_age[:-2] if len(by_age) > 2 else by_age[:1]
+            candidates = [s for s in candidates
+                          if newest_id - self.frame_ids[s]
+                          >= self.cfg.bundles.min_frame_age] or candidates[:1]
+            # weak frames: too few surviving points (setting_minPointsRemaining)
+            # or a diverged brightness factor vs the newest frame
+            # (setting_maxLogAffFacInWindow)
+            aff_np = np.asarray(st.current_aff())
+            exp_np = np.asarray(st.exposure)
+            newest = by_age[-1]
+
+            def log_aff_fac(s):
+                return abs(float(aff_np[s, 0] - aff_np[newest, 0]
+                                 + np.log(max(exp_np[s], 1e-12)
+                                          / max(exp_np[newest], 1e-12))))
+
             weak = [s for s in candidates
-                    if support[s] < self.cfg.bundles.percent_marginalize_vis
-                    * max(initial[s], 1) * 0.05]
+                    if support[s] < self.cfg.bundles.min_points_remaining
+                    * max(initial[s], 1)
+                    or log_aff_fac(s)
+                    > self.cfg.bundles.max_log_aff_fac_in_window]
             if weak:
                 marg_slot = weak[0]
             else:
@@ -468,9 +487,11 @@ class WindowManager:
         if marg_slot is not None:
             of_frame = active & (host == marg_slot)
             # well-constrained points of the dying frame -> marginalize,
-            # poorly-constrained -> drop (isOOB/isInlierNew split)
-            new_status[of_frame & (n_res >= 2)] = bs.PT_MARGINALIZE
-            new_status[of_frame & (n_res < 2)] = bs.PT_DROP
+            # poorly-constrained -> drop (isOOB/isInlierNew split;
+            # floor = min_good_res_for_marg, see config.py note)
+            n_marg = self.cfg.bundles.min_good_res_for_marg
+            new_status[of_frame & (n_res >= n_marg)] = bs.PT_MARGINALIZE
+            new_status[of_frame & (n_res < n_marg)] = bs.PT_DROP
 
         # drops: just free the slots
         dropped = new_status == bs.PT_DROP
@@ -552,14 +573,19 @@ class WindowManager:
         """DSO keyframe decision from flow indicators + affine change
         (setting_maxShiftWeight*, settings.cpp:38-42)."""
         w, h = self.cam.width, self.cam.height
+        cfg = self.cfg.bundles
         fi = np.asarray(track_res.flow_indicators)
         a = np.asarray(track_res.aff)
-        wT = 0.04 * (640 + 480) / (w + h)
-        wRT = 0.02 * (640 + 480) / (w + h)
+        norm = (640 + 480) / (w + h)
+        wT = cfg.max_shift_weight_t * norm
+        wR = cfg.max_shift_weight_r * norm
+        wRT = cfg.max_shift_weight_rt * norm
         # affine term: |log(e^{a})| = |a| (writing log(exp(a)) overflows to
         # -inf for a diverged affine estimate; reference takes the log of the
         # relative multiplier, CoarseTracker-based score in FullSystem)
-        score = (wT * np.sqrt(max(fi[0], 0.0))
-                 + wRT * np.sqrt(max(fi[2], 0.0))
-                 + 2.0 * abs(float(a[0])))
+        score = cfg.kf_global_weight * (
+            wT * np.sqrt(max(fi[0], 0.0))
+            + wR * np.sqrt(max(fi[1], 0.0))
+            + wRT * np.sqrt(max(fi[2], 0.0))
+            + cfg.max_affine_weight * abs(float(a[0])))
         return bool(score > 1.0)
