@@ -51,6 +51,7 @@ int64_t event_ring_pop_until(void* ring, double t_end, int64_t capacity,
 int64_t event_ring_push(void* ring, const float* xs, const float* ys,
                         const double* ts, const float* ps, int64_t n);
 int64_t event_ring_size(void* ring);
+int64_t event_ring_free(void* ring);
 int64_t event_file_read(void* reader, float* xs, float* ys, double* ts,
                         float* ps, int64_t max_n);
 }
@@ -179,7 +180,14 @@ class FrameLoader {
         next_claim_(0),
         stop_(false) {
     for (auto& s : slots_) s.state = kFree;
-    n_threads = std::max(1, n_threads);
+    // threads must not exceed slots: with more workers than slots, claims
+    // k and k+depth can wait on the SAME slot and the later claim can win
+    // the free slot, deadlocking in-order delivery. With threads <= depth
+    // every in-flight claim maps to a distinct slot (a blocked claim c
+    // implies consumed <= c-depth, which blocks all claims past c before
+    // they can wrap around).
+    n_threads = std::max(1, std::min<int>(n_threads,
+                                          static_cast<int>(slots_.size())));
     for (int i = 0; i < n_threads; ++i) {
       workers_.emplace_back([this] { this->work(); });
     }
@@ -323,19 +331,34 @@ class SequenceScheduler {
 
  private:
   // Keep the ring topped up without unbounded growth: read while the ring
-  // has room for a full chunk and the file still has data.
+  // has room and the file still has data. event_ring_push may accept only
+  // part of a chunk (ring full); the remainder is carried over to the next
+  // pump instead of being dropped.
   void pump() {
     if (!reader_ || eof_) return;
     constexpr int64_t kChunk = 1 << 16;
     while (event_ring_size(ring_) < (cap_ << 4)) {
-      const int64_t n = event_file_read(reader_, px_.data(), py_.data(),
-                                        pt_.data(), pp_.data(), kChunk);
-      if (n == 0) {
-        eof_ = true;
-        return;
+      if (pend_n_ == 0) {
+        pend_n_ = event_file_read(reader_, px_.data(), py_.data(),
+                                  pt_.data(), pp_.data(), kChunk);
+        pend_at_ = 0;
+        if (pend_n_ == 0) {
+          eof_ = true;
+          return;
+        }
       }
-      event_ring_push(ring_, px_.data(), py_.data(), pt_.data(), pp_.data(),
-                      n);
+      // never offer more than the ring's free space: the ring counts any
+      // rejected overflow as dropped (a real sensor would lose it), but a
+      // file reader can simply wait
+      const int64_t room = event_ring_free(ring_);
+      if (room <= 0) return;
+      const int64_t m = std::min(room, pend_n_);
+      const int64_t pushed = event_ring_push(
+          ring_, px_.data() + pend_at_, py_.data() + pend_at_,
+          pt_.data() + pend_at_, pp_.data() + pend_at_, m);
+      pend_at_ += pushed;
+      pend_n_ -= pushed;
+      if (pend_n_ > 0) return;  // ring full: keep the rest for next pump
     }
   }
 
@@ -348,6 +371,8 @@ class SequenceScheduler {
   int64_t k_ = 0;
   Phase phase_ = kFrame;
   bool eof_ = false;
+  int64_t pend_n_ = 0;   // carried-over events the ring had no room for
+  int64_t pend_at_ = 0;
   std::vector<float> px_ = std::vector<float>(1 << 16),
                      py_ = std::vector<float>(1 << 16),
                      pp_ = std::vector<float>(1 << 16);

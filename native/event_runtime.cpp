@@ -77,6 +77,8 @@ class EventRing {
            tail_.load(std::memory_order_acquire);
   }
 
+  int64_t free_space() const { return cap_ - size(); }
+
   // Drain up to `count` events into fixed-capacity output arrays of length
   // `capacity`, padding the remainder by repeating the last event with zero
   // polarity (zero-weight in the raster kernels). Returns n_valid. Output
@@ -323,6 +325,10 @@ int64_t event_ring_push(void* ring, const float* xs, const float* ys,
 
 int64_t event_ring_size(void* ring) {
   return static_cast<EventRing*>(ring)->size();
+}
+
+int64_t event_ring_free(void* ring) {
+  return static_cast<EventRing*>(ring)->free_space();
 }
 
 int64_t event_ring_pop_packet(void* ring, int64_t count, int64_t capacity,

@@ -31,17 +31,33 @@ _lib = None
 _build_error: Optional[str] = None
 
 
+def _stale() -> bool:
+    """True when the built .so predates any native source (e.g. a checkout
+    upgraded over an old build — loading it would miss new symbols)."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    so_mtime = os.path.getmtime(_LIB_PATH)
+    for name in os.listdir(_NATIVE_DIR):
+        if name.endswith((".cpp", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_NATIVE_DIR, name)) > so_mtime:
+                return True
+    return False
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_error
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    if _stale():
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception as e:  # toolchain absent / build failure
             _build_error = str(e)
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
+            # fall through: load the stale library; modules needing newer
+            # symbols (frame_loader) degrade gracefully via available()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.event_ring_create.restype = ctypes.c_void_p
     lib.event_ring_create.argtypes = [ctypes.c_int64]

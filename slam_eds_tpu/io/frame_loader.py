@@ -30,6 +30,10 @@ def _lib() -> Optional[ctypes.CDLL]:
     lib = _load()
     if lib is None:
         return None
+    # a stale prebuilt .so (upgraded checkout over an old build that make
+    # could not refresh) lacks the dataflow symbols — degrade gracefully
+    if not hasattr(lib, "png_open"):
+        return None
     if not _bound:
         i32 = ctypes.c_int32
         i64 = ctypes.c_int64

@@ -35,6 +35,28 @@ from ..ops import energy, immature, pixel_selector
 from ..ops import coarse_tracker as ct
 from . import ba_state as bs
 
+from functools import partial as _partial
+
+
+# Whole-coarse-track and template-build as single jitted programs (each
+# level's while_loop would otherwise dispatch separately — ~ms per dispatch
+# through a tunneled TPU). Module-level so the trace/compile cache is shared
+# across WindowManager instances (one per sequence in multi-sequence eval);
+# the config scalars are static arguments.
+@_partial(jax.jit, static_argnames=("max_iterations", "huber_th",
+                                    "cutoff_th"))
+def _track_coarse_compiled(templates, pyr, cams, pose, aff, exposures,
+                           aff_ref, min_res_for_abort, *, max_iterations,
+                           huber_th, cutoff_th):
+    return ct.track_newest_coarse(
+        templates, pyr, cams, pose, aff, exposures, aff_ref,
+        min_res_for_abort, max_iterations=max_iterations,
+        huber_th=huber_th, cutoff_th=cutoff_th)
+
+
+_build_template_compiled = jax.jit(ct.build_template,
+                                   static_argnames=("caps",))
+
 
 @dataclass
 class WindowManager:
@@ -62,17 +84,6 @@ class WindowManager:
         self.immatures = [None] * F
         self.frame_ids = [-1] * F
         self.frame_times = [0.0] * F
-        # whole-coarse-track and template-build as single jitted programs
-        # (each level's while_loop would otherwise dispatch separately —
-        # ~ms per dispatch through a tunneled TPU)
-        from functools import partial as _partial
-        self._track_coarse_jit = jax.jit(_partial(
-            ct.track_newest_coarse,
-            max_iterations=tuple(self.cfg.coarse.max_iterations),
-            huber_th=self.cfg.coarse.huber_th,
-            cutoff_th=self.cfg.coarse.coarse_cutoff_th))
-        self._build_template_jit = jax.jit(
-            ct.build_template, static_argnames=("caps",))
 
     # ------------------------------------------------------------------
     @property
@@ -431,8 +442,11 @@ class WindowManager:
         marg_slot = None
         if len(slots) > self.cfg.bundles.window_size:
             support = {s: (active & (host == s)).sum() for s in slots}
-            initial = {s: max((status == bs.PT_ACTIVE)[host == s].size, 1)
-                       for s in slots}
+            # denominator of the minPointsRemaining ratio: all point slots
+            # currently hosted at s (DSO's in+out counts residuals of live
+            # and dying points; dropped slots recycled to other hosts leave
+            # this denominator, which only makes the rule fire *later*)
+            initial = {s: max(int((host == s).sum()), 1) for s in slots}
             # don't marginalize the two newest, nor frames younger than
             # setting_minFrameAge
             by_age = sorted(slots, key=lambda s: self.frame_ids[s])
@@ -543,7 +557,7 @@ class WindowManager:
         caps = tuple(min(8192 >> l, max(1,
                      (self.cam.height >> l) * (self.cam.width >> l)))
                      for l in range(self.cfg.coarse.pyr_levels))
-        self.coarse_templates = self._build_template_jit(
+        self.coarse_templates = _build_template_compiled(
             uv, idn, jnp.ones_like(idn), ok, self.pyramids[slot], caps=caps)
 
     def track_frame(self, img, pose_init: SE3, aff_init=(0.0, 0.0),
@@ -560,12 +574,14 @@ class WindowManager:
         T_kf = SE3(T.R[slot], T.t[slot])
         ref_to_new = pose_init.compose(T_kf.inverse())
         aff_kf = st.current_aff()[slot]
-        res = self._track_coarse_jit(
+        res = _track_coarse_compiled(
             self.coarse_templates, pyr, cams, ref_to_new,
             jnp.asarray(aff_init, jnp.float32),
             (st.exposure[slot], jnp.asarray(exposure, jnp.float32)), aff_kf,
-            min_res_for_abort=jnp.full((self.cfg.coarse.pyr_levels,), 1e9,
-                                       jnp.float32))
+            jnp.full((self.cfg.coarse.pyr_levels,), 1e9, jnp.float32),
+            max_iterations=tuple(self.cfg.coarse.max_iterations),
+            huber_th=self.cfg.coarse.huber_th,
+            cutoff_th=self.cfg.coarse.coarse_cutoff_th)
         T_wc = res.pose.compose(T_kf)
         return res, T_wc
 

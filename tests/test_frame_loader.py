@@ -164,3 +164,28 @@ def test_scheduler_pumps_reader(tmp_path):
     assert frames == [0, 1, 2]
     # every event before the last frame time must have been delivered
     assert n_events == int(np.sum(ts < frame_times[-1]))
+
+
+def test_scheduler_small_ring_loses_no_events(tmp_path):
+    """Ring capacity below the pump threshold (cap<<4): push-back pressure
+    must carry unpushed events over to later pumps, never drop them."""
+    frame_times = np.asarray([0.0, 0.03, 0.06, 0.1])
+    xs, ys, ts, ps = _mk_events(0.0, 0.1, 10_000, seed=21)
+    path = str(tmp_path / "events.txt")
+    with open(path, "w") as f:
+        for i in range(len(ts)):
+            f.write(f"{ts[i]:.9f} {xs[i]:.2f} {ys[i]:.2f} "
+                    f"{1 if ps[i] > 0 else 0}\n")
+    ring = eb.EventRing(2048)          # << cap * 16
+    reader = eb.EventFileReader(path)
+    sched = fl.SequenceScheduler(ring, reader, frame_times, cap=512,
+                                 min_events=1)
+    n_events = 0
+    while True:
+        kind, payload = sched.next()
+        if kind == fl.DONE:
+            break
+        if kind == fl.EVENTS:
+            n_events += payload[4]
+    assert ring.dropped == 0
+    assert n_events == int(np.sum(ts < frame_times[-1]))
