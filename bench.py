@@ -76,14 +76,15 @@ def main():
 
     state, images, H, W = build_problem()
 
-    # 48 GN iterations per dispatch (8 keyframes' worth of the reference's
+    # 96 GN iterations per dispatch (16 keyframes' worth of the reference's
     # 6-iteration BA) in ONE jitted call: through the axon tunnel a chained
-    # dispatch costs ~1.8 ms host-side round-trip, ~30x the device compute
-    # (~4-12 us per GN iteration at this operating point, measured), so
-    # per-call timing measures the tunnel, not the solver. A production host
-    # amortizes dispatch exactly like this — ba_iterate is already one
-    # dispatch for a whole keyframe's GN loop.
-    iters_per_call = 48
+    # dispatch costs 0.3-1.8 ms host-side round-trip (varies run to run),
+    # many times the device compute (~4-12 us per GN iteration at this
+    # operating point, measured), so per-call timing measures the tunnel,
+    # not the solver. A production host amortizes dispatch exactly like
+    # this — ba_iterate is already one dispatch for a whole keyframe's GN
+    # loop.
+    iters_per_call = 96
 
     # NOTE: images must be a jit *argument*, not a closure capture — XLA's
     # gather emitter is ~200x slower on closure-folded constants than on
