@@ -69,6 +69,9 @@ def _load() -> Optional[ctypes.CDLL]:
                                     ctypes.c_int64]
     lib.event_ring_size.restype = ctypes.c_int64
     lib.event_ring_size.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "event_ring_free"):   # absent in pre-round-3 builds
+        lib.event_ring_free.restype = ctypes.c_int64
+        lib.event_ring_free.argtypes = [ctypes.c_void_p]
     lib.event_ring_pop_packet.restype = ctypes.c_int64
     lib.event_ring_pop_packet.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, f32p, f32p, f64p,
@@ -149,6 +152,14 @@ class EventRing:
             self._ring, float(t_end), capacity, xs, ys, ts, ps,
             ctypes.byref(med)))
         return xs, ys, ts, ps, n, med.value
+
+    @property
+    def free_space(self) -> int:
+        """Slots left before push() starts rejecting (and counting drops).
+        -1 when a stale pre-round-3 library lacks the accessor."""
+        if not hasattr(self._lib, "event_ring_free"):
+            return -1
+        return int(self._lib.event_ring_free(self._ring))
 
     @property
     def dropped(self) -> int:

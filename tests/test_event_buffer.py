@@ -120,3 +120,18 @@ def test_event_file_reader_and_undistort(tmp_path):
     eb.apply_undistort(xs, ys, (mx + 2).astype(np.float32),
                        (my + 1).astype(np.float32), W, H)
     assert xs[0] == 2.0 and ys[0] == 1.0
+
+
+def test_ring_free_space_tracks_occupancy():
+    import numpy as np
+    from slam_eds_tpu.io import event_buffer as eb
+    if not eb.available():
+        return
+    ring = eb.EventRing(256)
+    assert ring.free_space == 256
+    n = 100
+    ring.push(np.zeros(n, np.float32), np.zeros(n, np.float32),
+              np.arange(n, dtype=np.float64), np.ones(n, np.float32))
+    assert ring.free_space == 256 - n
+    ring.pop_packet(40, 64)
+    assert ring.free_space == 256 - n + 40
