@@ -119,6 +119,11 @@ bool png_decode_file(const char* path, DecodedFrame* out) {
   }
   if (w == 0 || h == 0 || interlace != 0) return false;
   if (depth != 8 && depth != 16) return false;
+  // Sanity-bound dimensions before allocating: a corrupt/malicious IHDR
+  // with huge w/h would overflow the int64 raw size or throw bad_alloc
+  // inside a FrameLoader worker thread (uncaught -> std::terminate).
+  // 100 megapixels is far beyond any event-camera rig.
+  if (int64_t(w) * int64_t(h) > int64_t(100) * 1000 * 1000) return false;
   int channels;
   switch (color) {
     case 0: channels = 1; break;
@@ -253,12 +258,29 @@ class FrameLoader {
       Slot& s = slots_[static_cast<size_t>(k % depth())];
       {
         std::unique_lock<std::mutex> lk(mu_);
-        cv_free_.wait(lk, [&] { return stop_ || s.state == kFree; });
+        // The slot is tied to its in-order owner: claim k may take slot
+        // k%depth only once every frame before k-depth has been consumed
+        // (k - consumed_ < depth). Without the second clause a worker
+        // holding claim k+depth could win the freed slot that blocked
+        // claim k was waiting on (it churned through claims
+        // k+1..k+depth-1 while claim k's worker was slow to reschedule
+        // after notify_all), decode frame k+depth into it, and deadlock
+        // the consumer (waiting for index==k) against claim k's worker
+        // (waiting for kFree).
+        cv_free_.wait(lk, [&] {
+          return stop_ || (s.state == kFree && k - consumed_ < depth());
+        });
         if (stop_) return;
         s.state = kDecoding;
         s.index = k;
       }
-      png_decode_file(paths_[static_cast<size_t>(k)].c_str(), &s.frame);
+      try {
+        png_decode_file(paths_[static_cast<size_t>(k)].c_str(), &s.frame);
+      } catch (...) {
+        // bad_alloc or any other decode-side throw must surface as a
+        // decode failure (next_meta -> -1), not std::terminate the process
+        s.frame.ok = false;
+      }
       {
         std::unique_lock<std::mutex> lk(mu_);
         s.state = kReady;

@@ -50,8 +50,21 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _stale():
         try:
-            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
+            # Serialize concurrent rebuilds (pytest workers / parallel bench
+            # scripts): without the lock one process can relink the .so
+            # while another is mid-CDLL load. Holders re-check staleness
+            # after acquiring — the winner already rebuilt.
+            import fcntl
+            lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+            with open(lock_path, "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                try:
+                    if _stale():
+                        subprocess.run(["make", "-B", "-C", _NATIVE_DIR],
+                                       check=True, capture_output=True,
+                                       timeout=120)
+                finally:
+                    fcntl.flock(lk, fcntl.LOCK_UN)
         except Exception as e:  # toolchain absent / build failure
             _build_error = str(e)
             if not os.path.exists(_LIB_PATH):

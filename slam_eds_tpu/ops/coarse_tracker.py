@@ -45,7 +45,7 @@ class TrackResult(NamedTuple):
     aff: jax.Array      # [2] (a, b)
     ok: jax.Array       # bool
     residuals: jax.Array       # [L] per-level final RMS residual
-    flow_indicators: jax.Array  # [3] (shiftT, 0, shiftRT) from finest level
+    flow_indicators: jax.Array  # [3] (shiftT, shiftR, shiftRT), finest level
 
 
 def aff_from_to(exp_a, aff_a, exp_b, aff_b):
@@ -225,8 +225,13 @@ def flow_indicators(tpl: LevelTemplate, cam: Pinhole, pose: SE3):
         return jnp.sum(m * d2) / n
 
     shiftT = mean_shift(I3, 1.0) + mean_shift(I3, -1.0)
+    # rotation-only indicator: the reference leaves flowVecs[1] at 0 (its
+    # setting_maxShiftWeightR multiplies a hardcoded zero); we compute it so
+    # the max_shift_weight_r knob is functional. Doubled to match the +/-
+    # two-sample convention of the other two indicators.
+    shiftR = 2.0 * mean_shift(pose.R, 0.0)
     shiftRT = mean_shift(pose.R, 1.0) + mean_shift(pose.R, -1.0)
-    return shiftT, shiftRT
+    return shiftT, shiftR, shiftRT
 
 
 def calc_gs(buffers, cam: Pinhole, aff_rel, b0_ref):
@@ -408,13 +413,11 @@ def track_newest_coarse(templates: Sequence[LevelTemplate],
         per_level_rms[lvl] = jnp.where(keep, rms, per_level_rms[lvl])
         ok = ok & (rms <= 1.5 * min_res_for_abort[lvl])
 
-    shiftT, shiftRT = flow_indicators(templates[0], cams[0], pose)
+    shiftT, shiftR, shiftRT = flow_indicators(templates[0], cams[0], pose)
     # affine sanity (CoarseTracker.cpp:685-698)
     rel = aff_from_to(exposures[0], aff_ref, exposures[1], aff)
     ok = ok & (jnp.abs(jnp.log(jnp.maximum(rel[0], 1e-12))) < 1.5) \
              & (jnp.abs(rel[1]) < 200.0)
     return TrackResult(pose=pose, aff=aff, ok=ok,
                        residuals=jnp.stack(per_level_rms),
-                       flow_indicators=jnp.stack([shiftT,
-                                                  jnp.asarray(0.0, jnp.float32),
-                                                  shiftRT]))
+                       flow_indicators=jnp.stack([shiftT, shiftR, shiftRT]))

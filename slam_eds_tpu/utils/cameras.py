@@ -119,8 +119,19 @@ def undistort_radtan(xyd, D, iters: int = 8):
 
 
 def distort_equidistant(xy, D):
-    """Kannala-Brandt fisheye (the reference's 'equidistant'/'KB' model,
-    src/utils/Undistort.h:120-160, src/tracking/KeyFrame.cpp:174-186)."""
+    """Equidistant / Kannala-Brandt fisheye.
+
+    The reference ships these as two undistorter classes but the math is
+    identical: UndistortEquidistant computes
+    ``thetad = theta*(1 + k1*t2 + k2*t4 + k3*t6 + k4*t8)``
+    (src/utils/Undistort.cpp:1077-1118) and UndistortKB computes
+    ``r = theta + k0*t3 + k1*t5 + k2*t7 + k3*t9``
+    (src/utils/Undistort.cpp:1136-1183) — the same polynomial with the same
+    four coefficients; the classes differ only in the calib-file prefix
+    ("Equidistant" vs "KannalaBrandt", Undistort.h:130-160). Both names
+    resolve here (model aliases 'equidistant' and 'kb'); this closes the
+    reference's five-model set {FOV, RadTan, Equidistant, Pinhole, KB}
+    (Undistort.h:67-160) with four distinct math kernels."""
     k1, k2, k3, k4 = D[0], D[1], D[2], D[3]
     x, y = xy[..., 0], xy[..., 1]
     r = jnp.sqrt(x * x + y * y) + 1e-12

@@ -74,3 +74,42 @@ def test_gamma_table_roundtrip():
     xs = np.arange(0, 256, 17, dtype=np.float32)
     vals = np.interp(np.asarray(Binv)[xs.astype(int)], np.arange(256), np.asarray(B))
     np.testing.assert_allclose(vals, xs, atol=1.0)
+
+
+def test_kannala_brandt_matches_equidistant_and_inverts(rng):
+    """The reference's UndistortKB (r = th + k0*th^3 + k1*th^5 + k2*th^7 +
+    k3*th^9, src/utils/Undistort.cpp:1136-1183) is the same polynomial as
+    UndistortEquidistant (thetad = th*(1 + k1*th^2 + ...), :1077-1118); the
+    'kb' model alias must produce identical distortion and round-trip."""
+    D = jnp.asarray([-0.04, 0.008, -0.0015, 0.0003], jnp.float32)
+    xy = jnp.asarray(rng.uniform(-0.6, 0.6, size=(256, 2)), jnp.float32)
+
+    # direct evaluation of the reference's KB polynomial form
+    x, y = np.asarray(xy[:, 0], np.float64), np.asarray(xy[:, 1], np.float64)
+    r = np.sqrt(x * x + y * y)
+    th = np.arctan2(r, 1.0)
+    k0, k1, k2, k3 = [float(v) for v in D]
+    rd = th + k0 * th**3 + k1 * th**5 + k2 * th**7 + k3 * th**9
+    s = np.where(r > 1e-8, rd / np.maximum(r, 1e-12), 1.0)
+    ref = np.stack([x * s, y * s], -1)
+
+    got = np.asarray(cam._DISTORT["kb"](xy, D))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    xyu = cam._UNDISTORT["kb"](jnp.asarray(ref, jnp.float32), D, iters=10)
+    np.testing.assert_allclose(np.asarray(xyu), np.stack([x, y], -1),
+                               atol=1e-4)
+
+
+def test_calib_model_aliases_resolve():
+    """'kannala_brandt' and 'equidistant' YAML names both bind to the KB
+    kernel (closing Undistort.h:67-160's five-model set)."""
+    from slam_eds_tpu.utils.calib import CameraInfo
+    for name in ("kannala_brandt", "equidistant"):
+        info = CameraInfo(width=240, height=180,
+                          intrinsics=(200.0, 210.0, 120.0, 90.0),
+                          D=(-0.04, 0.008, -0.0015, 0.0003),
+                          distortion_model=name)
+        m = info.to_model()
+        assert m.model == "kb"
+        assert cam._DISTORT[m.model] is cam.distort_equidistant

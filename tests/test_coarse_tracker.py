@@ -135,5 +135,5 @@ def test_flow_indicators_zero_at_identity(rng):
     img_ref = textured(rng)
     cam = make_cam()
     tpls, _ = build_tpl_from_dense(img_ref, cam, 0.5)
-    sT, sRT = ct.flow_indicators(tpls[0], cam, SE3.identity())
-    assert float(sT) < 1e-6 and float(sRT) < 1e-6
+    sT, sR, sRT = ct.flow_indicators(tpls[0], cam, SE3.identity())
+    assert float(sT) < 1e-6 and float(sR) < 1e-6 and float(sRT) < 1e-6
