@@ -61,6 +61,16 @@ class EventTrackerConfig:
     # src/utils/Utils.hpp:292-299). Rotation is absolute (radians).
     max_step_translation: float = 0.5
     max_step_rotation: float = 0.5
+    # track refinement against the event frame before the depth-filter
+    # update (Tracker::trackPoints / trackPointsPyr /
+    # trackPointsAlongEpiline, src/tracking/Tracker.cpp:378-553):
+    # none | klt | klt_pyr | model_klt | epiline (model_klt is the
+    # scale-correct TPU-native mode; klt/klt_pyr mirror the reference)
+    track_refinement: str = "none"
+    refinement_patch_radius: int = 3
+    refinement_pyr_levels: int = 3          # klt_pyr depth (min 3x3 patch)
+    refinement_search_range: float = 6.0    # epiline half-range (px)
+    refinement_consistency_px: float = 5.0  # epiline ssd-vs-ncc gate
 
 
 @dataclass(frozen=True)

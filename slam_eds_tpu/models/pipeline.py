@@ -481,6 +481,30 @@ class EDSPipeline:
         # track update + depth filter (call stack §3.1)
         uv_ef, alive = et.warp_coords(res.state, self.cam, kf.norm_coord,
                                       kf.idepth, kf.mask)
+        # config-gated refinement of the warp-predicted tracks against this
+        # event frame (Tracker.cpp:378-553) before DepthPoints::update
+        mode = self.cfg.tracker.track_refinement
+        if mode in ("klt", "klt_pyr"):
+            delta, _ = et.refine_tracks_klt(
+                ef.frames[0], uv_ef, kf.grad, alive,
+                patch_radius=self.cfg.tracker.refinement_patch_radius,
+                num_levels=(self.cfg.tracker.refinement_pyr_levels
+                            if mode == "klt_pyr" else 1))
+            uv_ef = uv_ef + delta
+        elif mode == "model_klt":
+            model = kfm.sparse_model(kf, res.state.vx)
+            delta, _ = et.refine_tracks_model_klt(
+                ef.frames[0], uv_ef, model, alive,
+                patch_radius=self.cfg.tracker.refinement_patch_radius)
+            uv_ef = uv_ef + delta
+        elif mode == "epiline":
+            model = kfm.sparse_model(kf, res.state.vx)
+            uv_ef, alive = et.refine_tracks_epiline(
+                ef.frames[0], kf.uv, uv_ef, model, alive,
+                et.pose_kf_ef(res.state), self.cam,
+                patch_radius=self.cfg.tracker.refinement_patch_radius,
+                search_range=self.cfg.tracker.refinement_search_range,
+                consistency_px=self.cfg.tracker.refinement_consistency_px)
         tracks = uv_ef - kf.uv
         self.depth = df.update(self.depth, T_kf_ef, kf.uv, tracks, self.cam,
                                mu_range=(self.cfg.mapping.max_depth

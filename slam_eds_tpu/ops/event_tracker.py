@@ -410,3 +410,176 @@ def pose_filter_mean(f: PoseFilter) -> SE3:
     mean = jnp.sum(f.taus * m[:, None], axis=0) / jnp.maximum(
         jnp.sum(m), 1.0)
     return SE3.exp(mean)
+
+
+# ---------------------------------------------------------------------------
+# Track refinement (Tracker::trackPoints / trackPointsPyr /
+# trackPointsAlongEpiline, src/tracking/Tracker.cpp:378-553): refine the
+# warp-predicted tracks against the current event frame before they feed
+# DepthPoints::update. All three reference variants, batched over points.
+# ---------------------------------------------------------------------------
+
+def _splat_gradient_images(uv, grad, mask, height: int, width: int):
+    """Rasterize the per-point KF gradient values at the warped coordinates
+    (KeyFrame::getGradient_x/y, KeyFrame.cpp:1319-1351: drawValuesPoints of
+    grad.x / grad.y at ``coord``). Returns (gx_img, gy_img)."""
+    from ..utils.events import scatter_accumulate
+    gx = scatter_accumulate(uv[:, 0], uv[:, 1], grad[:, 0], height, width,
+                            mask=mask, method="bilinear")
+    gy = scatter_accumulate(uv[:, 0], uv[:, 1], grad[:, 1], height, width,
+                            mask=mask, method="bilinear")
+    return gx, gy
+
+
+def _klt_flow_from_patches(gx_p, gy_p, ev_p, min_strength: float = 1e-6,
+                           rank_ratio: float = 1e-3):
+    """One Lucas-Kanade normal-equation solve per point treating the event
+    frame as the temporal derivative (eds::utils::kltTracker,
+    Utils.cpp:735-759): f = -M^+ b with M = [sum IxIx, sum IxIy; ., sum
+    IyIy], b = [sum Ix It, sum Iy It]. Patch axes: [P, K].
+
+    Solved with the 2x2 symmetric PSEUDO-inverse rather than the
+    reference's M.inverse(): a patch containing a single splatted point
+    has gx_p exactly proportional to gy_p (rank-1 structure tensor, the
+    aperture problem) which the hard inverse turns into inf/garbage; the
+    pseudo-inverse yields the minimal-norm solution — the NORMAL flow
+    along the gradient, the only component the event actually observes."""
+    Mxx = jnp.sum(gx_p * gx_p, -1)
+    Mxy = jnp.sum(gx_p * gy_p, -1)
+    Myy = jnp.sum(gy_p * gy_p, -1)
+    bx = jnp.sum(gx_p * ev_p, -1)
+    by = jnp.sum(gy_p * ev_p, -1)
+    # eigendecomposition of the symmetric PSD 2x2 M
+    tr = Mxx + Myy
+    disc = jnp.sqrt(jnp.maximum((Mxx - Myy) ** 2 + 4.0 * Mxy * Mxy, 0.0))
+    lam1 = 0.5 * (tr + disc)                    # principal eigenvalue
+    lam2 = jnp.maximum(0.5 * (tr - disc), 0.0)
+    # principal eigenvector (choose the better-conditioned formula)
+    v1a = jnp.stack([lam1 - Myy, Mxy], -1)
+    v1b = jnp.stack([Mxy, lam1 - Mxx], -1)
+    use_a = jnp.abs(lam1 - Myy) >= jnp.abs(lam1 - Mxx)
+    v1 = jnp.where(use_a[:, None], v1a, v1b)
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-20)
+    v2 = jnp.stack([-v1[:, 1], v1[:, 0]], -1)
+    b = jnp.stack([bx, by], -1)
+    ok = lam1 > min_strength
+    c1 = jnp.where(ok, jnp.sum(v1 * b, -1) / jnp.maximum(lam1, 1e-20), 0.0)
+    full_rank = lam2 > rank_ratio * lam1
+    c2 = jnp.where(full_rank,
+                   jnp.sum(v2 * b, -1) / jnp.maximum(lam2, 1e-20), 0.0)
+    f = -(c1[:, None] * v1 + c2[:, None] * v2)
+    return f, ok
+
+
+def refine_tracks_klt(event_frame, uv_warped, grad, mask,
+                      patch_radius: int = 3, num_levels: int = 1):
+    """Refine warped tracks by per-point event-based KLT
+    (Tracker::trackPoints, Tracker.cpp:378-434; pyramidal variant
+    trackPointsPyr, :436-488 when num_levels > 1).
+
+    The KF's per-point gradients are splatted at the warped coordinates
+    into sparse gradient images; a patch of those and of the event frame
+    around each warped point feeds one LK normal-equation solve whose flow
+    increment f is ADDED to the track (``kf->tracks[idx] += f``). The
+    pyramidal variant accumulates f over per-patch pyramids coarse->fine
+    with the reference's 1/scale^2 weighting
+    (``f += (1.0/scale) * kltTracker(...)/scale``, Tracker.cpp:476).
+
+    Returns (delta [P, 2] track increment, ok [P] solvable-system mask).
+    ok=False points get delta 0 (the reference keeps them too: its outlier
+    erase is disabled, Tracker.cpp:417 ``bool oulier = false``).
+    """
+    from ..utils.klt import _patch_grid
+    from ..utils.interp import bilinear
+    H, W = event_frame.shape
+    gx_img, gy_img = _splat_gradient_images(uv_warped, grad, mask, H, W)
+
+    delta = jnp.zeros_like(uv_warped)
+    ok_all = jnp.zeros(uv_warped.shape[0], bool)
+    for lvl in range(num_levels - 1, -1, -1):
+        scale = float(2 ** lvl)
+        # downsampled patch of the full-res images at fixed center
+        # (pyramidPatches downsamples the extracted patch; sampling the
+        # full-res image with 2^l spacing is the alias-free equivalent)
+        dx, dy = _patch_grid(patch_radius, uv_warped.dtype)
+        xs = uv_warped[:, 0:1] + scale * dx[None, :]
+        ys = uv_warped[:, 1:2] + scale * dy[None, :]
+        gx_p = bilinear(gx_img, xs, ys)
+        gy_p = bilinear(gy_img, xs, ys)
+        ev_p = bilinear(event_frame, xs, ys)
+        f, ok = _klt_flow_from_patches(gx_p, gy_p, ev_p)
+        delta = delta + f / (scale * scale)
+        ok_all = ok_all | ok
+    # bound the increment: one LK step on a sparse splat can shoot far on
+    # near-degenerate systems; the event displacement per packet is small
+    delta = jnp.clip(delta, -2.0 * patch_radius, 2.0 * patch_radius)
+    return jnp.where((mask & ok_all)[:, None], delta, 0.0), mask & ok_all
+
+
+def refine_tracks_model_klt(event_frame, uv_warped, model, mask,
+                            patch_radius: int = 3, iterations: int = 4,
+                            max_delta: float = 3.0):
+    """Scale-correct track refinement: inverse-compositional LK between the
+    rasterized brightness-change MODEL image and the event frame.
+
+    The reference's trackPoints correlates the raw KF gradient splat with
+    the raw event frame (Tracker.cpp:378-434), which makes the recovered
+    flow proportional to the event frame's arbitrary Frobenius
+    normalization (a gain the reference never compensates). Rasterizing
+    the normalized model at the warped positions instead gives a template
+    in the SAME units as the normalized event frame — E(x+f) ~ m(x) — so
+    the LK solution is the geometric offset in pixels, independent of
+    either normalization. This is the recommended refinement mode.
+
+    model: [P] normalized sparse model values (keyframe.sparse_model at
+    the solver's velocity). Returns (delta [P, 2], ok [P]).
+    """
+    from ..utils import klt as kltmod
+    from ..utils.events import scatter_accumulate
+    H, W = event_frame.shape
+    model_img = scatter_accumulate(uv_warped[:, 0], uv_warped[:, 1], model,
+                                   H, W, mask=mask, method="bilinear")
+    uv_new, ok, _ = kltmod.klt_track(model_img, event_frame, uv_warped,
+                                     radius=patch_radius,
+                                     iterations=iterations)
+    delta = jnp.clip(uv_new - uv_warped, -max_delta, max_delta)
+    ok = ok & mask
+    return jnp.where(ok[:, None], delta, 0.0), ok
+
+
+def refine_tracks_epiline(event_frame, kf_uv, uv_warped, model, mask,
+                          T_kf_ef: SE3, cam: Pinhole,
+                          patch_radius: int = 3, search_range: float = 6.0,
+                          num_steps: int = 25,
+                          consistency_px: float = 5.0):
+    """Epipolar template search (Tracker::trackPointsAlongEpiline,
+    Tracker.cpp:490-553): the rasterized brightness-change model patch of
+    each point is searched along its epipolar line in the event frame with
+    TWO similarity measures; points where the two matchers disagree by more
+    than ``consistency_px`` are flagged dead (the reference erases them).
+
+    model: [P] normalized sparse model values (keyframe.sparse_model).
+    Returns (uv_refined [P, 2], alive [P]).
+    """
+    from ..utils import klt as kltmod
+    from ..utils.events import scatter_accumulate
+    H, W = event_frame.shape
+    model_img = scatter_accumulate(kf_uv[:, 0], kf_uv[:, 1], model, H, W,
+                                   mask=mask, method="bilinear")
+    # epipolar directions in the event frame from the current relative pose
+    F = kltmod.fundamental_from_pose(T_kf_ef.inverse(), cam.K)
+    d = kltmod.epiline_directions(F, kf_uv)
+    uv_ssd, s_ssd = kltmod.search_along_epiline(
+        model_img, event_frame, uv_warped, d, search_range,
+        radius=patch_radius, num_steps=num_steps, measure="zssd",
+        uv_tpl=kf_uv)
+    uv_ncc, s_ncc = kltmod.search_along_epiline(
+        model_img, event_frame, uv_warped, d, search_range,
+        radius=patch_radius, num_steps=num_steps, measure="zncc",
+        uv_tpl=kf_uv)
+    # consistency gate: |  |p_ssd| - |p_ncc| | > threshold -> erase
+    # (Tracker.cpp:538-543 gates on the norm difference of the two matches)
+    dis = jnp.abs(jnp.linalg.norm(uv_ssd, axis=-1)
+                  - jnp.linalg.norm(uv_ncc, axis=-1))
+    alive = mask & (dis <= consistency_px)
+    return jnp.where(alive[:, None], uv_ssd, uv_warped), alive

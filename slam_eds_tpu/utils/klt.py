@@ -151,14 +151,16 @@ def klt_track_pyramid(pyr_ref, pyr_new, uv0, radius: int = 4,
 @partial(jax.jit, static_argnames=("radius", "num_steps", "measure"))
 def search_along_epiline(img_ref, img_new, uv0, line_dir, search_range,
                          radius: int = 3, num_steps: int = 32,
-                         measure: str = "zncc"):
+                         measure: str = "zncc", uv_tpl=None):
     """Discrete patch search along per-point epipolar directions
     (searchAlongEpiline, Utils.cpp:857-957).
 
     line_dir: [N, 2] unit directions; search_range: scalar half-range (px).
+    uv_tpl: optional [N, 2] template centers in img_ref (defaults to uv0 —
+    pass the KF pixel when the search center is the warped prediction).
     Returns (uv_best [N, 2], score [N]).
     """
-    T = extract_patches(img_ref, uv0, radius)
+    T = extract_patches(img_ref, uv0 if uv_tpl is None else uv_tpl, radius)
     steps = jnp.linspace(-search_range, search_range, num_steps,
                          dtype=uv0.dtype)
     cand = uv0[:, None, :] + steps[None, :, None] * line_dir[:, None, :]

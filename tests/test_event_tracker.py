@@ -260,3 +260,151 @@ def test_nc_optimize_recovers_pose(rng):
     err_t = float(jnp.linalg.norm(res.state.px - T_true.t))
     err0_t = float(jnp.linalg.norm(st0.px - T_true.t))
     assert err_t < 0.5 * err0_t, (err_t, err0_t)
+
+
+# ---------------------------------------------------------------------------
+# track refinement (Tracker.cpp:378-553)
+# ---------------------------------------------------------------------------
+
+def _refinement_scene(rng, n=64, f_true_px=0.7):
+    """Points on a coarse grid; the 'event frame' is the splat of each
+    point's brightness change -grad.f_true at the TRUE warped position;
+    the predicted warp is short of truth by f_true."""
+    H, W = 96, 128
+    gx, gy = np.meshgrid(np.linspace(14, W - 14, 8),
+                         np.linspace(14, H - 14, 8))
+    uv_true = np.stack([gx.ravel(), gy.ravel()], -1)[:n].astype(np.float32)
+    uv_true += rng.uniform(-2, 2, uv_true.shape).astype(np.float32)
+    grad = rng.normal(size=(n, 2)).astype(np.float32) * 30
+    # flow along each point's gradient direction — the component events
+    # observe (flow normal to the gradient produces no brightness change,
+    # so no event, so nothing any tracker could recover)
+    gdir = grad / np.linalg.norm(grad, axis=-1, keepdims=True)
+    f_true = gdir * f_true_px
+    # brightness change seen by the event camera: dL = -grad . flow
+    dl = -(grad[:, 0] * f_true[:, 0] + grad[:, 1] * f_true[:, 1])
+    ev = scatter_accumulate(jnp.asarray(uv_true[:, 0]),
+                            jnp.asarray(uv_true[:, 1]), jnp.asarray(dl),
+                            H, W, method="bilinear")
+    uv_warp = jnp.asarray(uv_true - f_true)
+    return ev, uv_warp, jnp.asarray(uv_true), jnp.asarray(grad), \
+        jnp.ones((n,), bool)
+
+
+def test_refine_tracks_klt_reduces_error(rng):
+    """One event-KLT step (trackPoints, Tracker.cpp:378-434) must move the
+    warp-predicted correspondences toward the true event positions."""
+    ev, uv_warp, uv_true, grad, mask = _refinement_scene(rng)
+    delta, ok = et.refine_tracks_klt(ev, uv_warp, grad, mask,
+                                     patch_radius=3)
+    err_before = np.linalg.norm(np.asarray(uv_warp - uv_true), axis=-1)
+    err_after = np.linalg.norm(
+        np.asarray(uv_warp + delta - uv_true), axis=-1)
+    okn = np.asarray(ok)
+    assert okn.sum() > 56, f"few solvable systems: {okn.sum()}"
+    assert err_after[okn].mean() < 0.4 * err_before[okn].mean(), \
+        (err_before[okn].mean(), err_after[okn].mean())
+
+
+def test_refine_tracks_klt_pyramidal_runs(rng):
+    """Pyramidal accumulation (trackPointsPyr, Tracker.cpp:436-488) stays
+    finite and bounded."""
+    ev, uv_warp, uv_true, grad, mask = _refinement_scene(rng)
+    delta, ok = et.refine_tracks_klt(ev, uv_warp, grad, mask,
+                                     patch_radius=3, num_levels=3)
+    d = np.asarray(delta)
+    assert np.isfinite(d).all()
+    assert (np.abs(d) <= 6.0 + 1e-6).all()
+    # masked-out points must not move
+    delta0, _ = et.refine_tracks_klt(ev, uv_warp, grad,
+                                     jnp.zeros_like(mask), patch_radius=3)
+    assert np.all(np.asarray(delta0) == 0.0)
+
+
+def test_refine_tracks_epiline_consistency_gate(rng):
+    """Epiline search (trackPointsAlongEpiline, Tracker.cpp:490-553):
+    with the model splat reproduced in the event frame the matched
+    positions must track the truth along the line, and the ssd/ncc
+    consistency gate keeps coherent points alive."""
+    n = 32
+    H, W = 96, 128
+    gx, gy = np.meshgrid(np.linspace(16, W - 16, 8),
+                         np.linspace(16, H - 16, 4))
+    kf_uv = np.stack([gx.ravel(), gy.ravel()], -1)[:n].astype(np.float32)
+    model = rng.normal(size=n).astype(np.float32)
+    model /= np.linalg.norm(model)
+    # true positions: shifted 2px along +x; event frame = model splat there
+    shift = np.array([2.0, 0.0], np.float32)
+    uv_true = kf_uv + shift
+    ev = scatter_accumulate(jnp.asarray(uv_true[:, 0]),
+                            jnp.asarray(uv_true[:, 1]), jnp.asarray(model),
+                            H, W, method="bilinear")
+    # pose whose epipolar lines run along x: translation along x
+    T = SE3.exp(jnp.asarray([0.05, 0, 0, 0, 0, 0], jnp.float32))
+    uv_warp = jnp.asarray(kf_uv)  # prediction = no motion (2px off)
+    uv_ref, alive = et.refine_tracks_epiline(
+        ev, jnp.asarray(kf_uv), uv_warp, jnp.asarray(model),
+        jnp.ones((n,), bool), T, CAM, patch_radius=3,
+        search_range=4.0, num_steps=33)
+    a = np.asarray(alive)
+    assert a.sum() >= n * 0.8, a.sum()
+    err = np.linalg.norm(np.asarray(uv_ref)[a] - uv_true[a], axis=-1)
+    assert err.mean() < 0.75, err.mean()
+
+
+def test_refinement_improves_depth_filter_convergence(rng):
+    """VERDICT r3 item 5 'done' criterion: with imperfect idepth seeds,
+    warp-only tracks are self-consistent with the WRONG seed (the filter
+    just reinforces it), while KLT-refined tracks pull the correspondence
+    toward the true epipolar position and the triangulated depth toward
+    truth (Tracker.cpp:378-434 feeding DepthPoints::update)."""
+    from slam_eds_tpu.ops import depth_filter as df
+    n = 48
+    H, W = 96, 128
+    gx, gy = np.meshgrid(np.linspace(20, W - 20, 8),
+                         np.linspace(20, H - 20, 6))
+    uv_kf = np.stack([gx.ravel(), gy.ravel()], -1)[:n].astype(np.float32)
+    uv_kf += rng.uniform(-2, 2, uv_kf.shape).astype(np.float32)
+    nc = np.stack([(uv_kf[:, 0] - float(CAM.cx)) / float(CAM.fx),
+                   (uv_kf[:, 1] - float(CAM.cy)) / float(CAM.fy)], -1)
+    rho_true = rng.uniform(0.45, 0.7, n).astype(np.float32)
+    rho_seed = rho_true * (1.0 + rng.choice([-0.18, 0.18], n)).astype(
+        np.float32)
+    # translation along x (epipolar direction ~ x); T_ef_kf state
+    T_ef_kf = SE3.exp(jnp.asarray([0.12, 0.0, 0.0, 0.0, 0.0, 0.0],
+                                  jnp.float32))
+    state = et.initial_tracker_state()._replace(
+        px=T_ef_kf.t, qx=lie.mat_to_quat(T_ef_kf.R))
+    mask = jnp.ones((n,), bool)
+    uv_true, _ = et.warp_coords(state, CAM, jnp.asarray(nc),
+                                jnp.asarray(rho_true), mask)
+    uv_warp, alive = et.warp_coords(state, CAM, jnp.asarray(nc),
+                                    jnp.asarray(rho_seed), mask)
+    # normalized model values; event frame = the same values splatted at
+    # the TRUE correspondence (what a perfectly-modeled sensor reports)
+    dl = rng.normal(size=n).astype(np.float32)
+    dl /= np.linalg.norm(dl)
+    ev = scatter_accumulate(uv_true[:, 0], uv_true[:, 1], jnp.asarray(dl),
+                            H, W, method="bilinear")
+
+    T_kf_ef = et.pose_kf_ef(state)
+    mu_range = 4.0
+
+    def depth_err(tracks):
+        st = df.init_from_prior(jnp.asarray(rho_seed), 0.25, 4.0, 10.0, 10.0)
+        for _ in range(6):
+            st = df.update(st, T_kf_ef, jnp.asarray(uv_kf), tracks, CAM,
+                           mu_range=mu_range, px_noise=1.0, mask=alive)
+        return float(jnp.mean(jnp.where(
+            alive, jnp.abs(st.mu - jnp.asarray(rho_true)), 0.0)))
+
+    tracks_warp = uv_warp - jnp.asarray(uv_kf)
+    err_warp = depth_err(tracks_warp)
+
+    uv_ref = uv_warp
+    for _ in range(3):   # per-packet refinement (model_klt mode)
+        delta, _ = et.refine_tracks_model_klt(ev, uv_ref, jnp.asarray(dl),
+                                              alive, patch_radius=3)
+        uv_ref = uv_ref + delta
+    err_ref = depth_err(uv_ref - jnp.asarray(uv_kf))
+    assert err_ref < 0.5 * err_warp, (err_warp, err_ref)

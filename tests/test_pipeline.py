@@ -178,3 +178,28 @@ def test_tracking_failure_holds_motion_and_defers_kf(seq):
         t, img, _ = seq.frame(k)
         pipe.process_frame(img, t)
     assert not pipe._lost
+
+
+def test_eds_pipeline_with_track_refinement(seq):
+    """Config-gated refinement (Tracker.cpp:378-553 wiring): the event loop
+    runs with model_klt refinement enabled and stays accurate."""
+    import dataclasses
+    cfg = small_config()
+    cfg = dataclasses.replace(
+        cfg, tracker=dataclasses.replace(cfg.tracker,
+                                         track_refinement="model_klt"))
+    pipe = EDSPipeline(CAM, cfg)
+    ev_pos, ev_gt = [], []
+    for k in range(10):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, t)
+        if k + 1 < seq.num_frames and pipe.kf is not None:
+            packet = seq.events_between(k, k + 1)
+            T = pipe.process_events(packet)
+            if T is not None:
+                ev_pos.append(np.asarray(T.inverse().t))
+                ev_gt.append(np.asarray(seq.pose_at(k + 0.5).inverse().t))
+    assert len(ev_pos) >= 5
+    err = float(ate_rmse(jnp.asarray(np.stack(ev_pos)),
+                         jnp.asarray(np.stack(ev_gt))))
+    assert err < 0.12, err
