@@ -1,36 +1,61 @@
-"""Benchmark: keyframe-BA Gauss-Newton iterations per second on one chip.
+"""Benchmark: keyframe-BA GN rate + end-to-end pipeline rate on one chip.
 
 BASELINE.json's per-chip metric is "keyframe-BA iters/s + frames/s per
-chip". The reference publishes no numbers (SURVEY §6); as the comparison
-anchor we use a measured-order estimate for the reference's CPU solver:
-DSO-class photometric BA at the reference's own operating point (2000
-active points x 7-frame window x 8-pixel pattern, 6-thread SSE CPU,
-src/utils/settings.cpp:72-81) runs a GN iteration (linearize + accumulate +
-solve + back-substitute) in roughly 30-35 ms => ~30 iters/s. vs_baseline is
-therefore iters_per_s / 30.0 until a measured reference run replaces it.
+chip". The reference publishes no numbers (SURVEY §6) and cannot be built
+here (Eigen/Ceres absent), so the comparison anchor is MEASURED at bench
+time by compiling and running ``native/dso_baseline.cpp`` — a
+dependency-free C++ harness replicating the reference's GN-iteration shape
+(2000 pts x 7-KF window x 8-pattern linearize, AccumulatorApprox 13x13
+accumulation incl. the shift-register cascade, Schur, 60x60 LDLT,
+resubstitution; 6 threads + compiler AVX, a strictly stronger build than
+the reference's hand SSE). vs_baseline is measurement/measurement.
+NOTE the container exposes 2 CPU cores; the measured baseline is what the
+reference-class solver achieves on THIS host, reported as such.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The headline is the production-representative rate (6 GN iterations per
+dispatch, one dispatch per keyframe BA — the r3 advisor's point); the
+amortized 96-iteration rate and the end-to-end pipeline numbers (frames/s,
+event solves/s, ATE at the reference operating point 640x480 / 2048 pts /
+window 7+1 / 6 iters) ride in "extra".
 """
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
-
-# Persistent compile cache (fingerprinted by host CPU — a cache carried
-# across machines would load mismatched AOT code; compile_cache.py): caching
-# the BA executable makes fresh-process bench runs start in seconds.
-import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from slam_eds_tpu.compile_cache import setup_cache  # noqa: E402
 
 setup_cache(os.path.dirname(os.path.abspath(__file__)))
 
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
-def build_problem():
+
+# ---------------------------------------------------------------------------
+def measured_cpu_baseline():
+    """Compile + run the reference-shape CPU harness; returns its GN
+    iters/s, or None when the toolchain is unavailable."""
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "native", "dso_baseline.cpp")
+    exe = "/tmp/dso_baseline_bench"
+    try:
+        subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                        "-pthread", "-o", exe, src],
+                       check=True, capture_output=True, timeout=120)
+        out = subprocess.run([exe, "30"], check=True, capture_output=True,
+                             timeout=300).stdout.decode()
+        return json.loads(out.strip())
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+def build_ba_problem():
     from slam_eds_tpu.models import ba_state as bs
     from slam_eds_tpu.utils.lie import SE3
 
@@ -46,8 +71,7 @@ def build_problem():
     # NOTE: keep this function free of device->host transfers. Through the
     # axon TPU tunnel, a single D2H (np.asarray of a device array) switches
     # the stream into a synchronous mode that slows gather-heavy executables
-    # by ~1000x for the rest of the process (measured: the patch-gather
-    # linearize goes 0.08 ms -> 251 ms after one D2H).
+    # by ~1000x for the rest of the process (measured r2).
     hosts_np = rng.integers(0, 7, P)
     hosts = jnp.asarray(hosts_np, jnp.int32)
     r_act = np.ones((P, F), bool)
@@ -71,51 +95,125 @@ def build_problem():
     return state, jnp.asarray(imgs), H, W
 
 
-def main():
+def bench_ba(iters_per_call: int, reps: int = 9):
+    """Median wall time of ONE dispatch of `iters_per_call` GN iterations.
+    NOTE: images must be a jit *argument*, not a closure constant — XLA's
+    gather emitter is ~200x slower on folded constants (measured r2)."""
     from slam_eds_tpu.ops import energy
 
-    state, images, H, W = build_problem()
+    state, images, H, W = build_ba_problem()
 
-    # 96 GN iterations per dispatch (16 keyframes' worth of the reference's
-    # 6-iteration BA) in ONE jitted call: through the axon tunnel a chained
-    # dispatch costs 0.3-1.8 ms host-side round-trip (varies run to run),
-    # many times the device compute (~4-12 us per GN iteration at this
-    # operating point, measured), so per-call timing measures the tunnel,
-    # not the solver. A production host amortizes dispatch exactly like
-    # this — ba_iterate is already one dispatch for a whole keyframe's GN
-    # loop.
-    iters_per_call = 96
-
-    # NOTE: images must be a jit *argument*, not a closure capture — XLA's
-    # gather emitter is ~200x slower on closure-folded constants than on
-    # parameters (measured on v5e), and in the real pipeline the window
-    # images change every keyframe anyway.
     def step(state, images):
         st, e, _ = energy.ba_iterate(state, images, H, W,
                                      iterations=iters_per_call)
         return st, e
 
     step_j = jax.jit(step)
-    # warmup/compile
     st, e = step_j(state, images)
     jax.block_until_ready(st)
-
-    # median of single-dispatch wall times (tunnel latency varies run-to-run)
     times = []
-    for _ in range(9):
+    for _ in range(reps):
         t0 = time.perf_counter()
         st, e = step_j(state, images)
         jax.block_until_ready(st)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
+    return iters_per_call / dt
 
-    iters_per_s = iters_per_call / dt
-    baseline_iters_per_s = 30.0
+
+# ---------------------------------------------------------------------------
+def bench_e2e(num_frames: int = 24, budget_s: float = 2400.0):
+    """End-to-end EDS pipeline at the reference operating point: 640x480
+    frames, 2048-point budget, window 7+1, 6 GN iters/KF
+    (src/utils/settings.cpp:72-82). Synthetic sequence (io.dataset), data
+    pre-generated so the timed loop is pipeline-only. Returns a dict with
+    frames/s, event-solves/s and ATE-RMSE, or an {"error": ...} dict."""
+    from slam_eds_tpu.config import EDSConfig
+    from slam_eds_tpu.io.dataset import SyntheticSequence
+    from slam_eds_tpu.models.pipeline import EDSPipeline
+    from slam_eds_tpu.utils.alignment import ate_rmse
+    from slam_eds_tpu.utils.cameras import Pinhole
+
+    t_start = time.perf_counter()
+    W, H = 640, 480
+    cam = Pinhole(jnp.float32(400.0), jnp.float32(400.0),
+                  jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+    seq = SyntheticSequence(cam, num_frames=num_frames,
+                            events_per_packet=16384, motion_scale=0.22,
+                            micro_steps=2)
+    frames = [seq.frame(k) for k in range(num_frames)]
+    packets = [seq.events_between(k, k + 1) for k in range(num_frames - 1)]
+
+    cfg = EDSConfig()      # defaults ARE the reference operating point
+    pipe = EDSPipeline(cam, cfg)
+
+    # warmup pass: first frames compile every program in the loop
+    n_solves = 0
+    t0 = time.perf_counter()
+    frame_times = []
+    for k in range(num_frames):
+        tf = time.perf_counter()
+        t, img, _ = frames[k]
+        pipe.process_frame(img, t)
+        if k < num_frames - 1 and pipe.kf is not None:
+            if pipe.process_events(packets[k]) is not None:
+                n_solves += 1
+        frame_times.append(time.perf_counter() - tf)
+        if time.perf_counter() - t_start > budget_s:
+            return {"error": f"budget exceeded at frame {k}"}
+    wall = time.perf_counter() - t0
+
+    est = pipe.frame_pipe.positions()
+    gt = seq.gt_positions()[: len(est)]
+    ate = float(ate_rmse(jnp.asarray(est), jnp.asarray(gt))) \
+        if len(est) >= 4 else float("nan")
+    # steady-state rate: last half of the run (first frames pay compiles)
+    steady = frame_times[num_frames // 2:]
+    return {
+        "frames": num_frames,
+        "event_solves": n_solves,
+        "frames_per_s_total": num_frames / wall,
+        "frames_per_s_steady": 1.0 / (float(np.median(steady)) + 1e-12),
+        "event_solves_per_s": n_solves / wall,
+        "ate_rmse": ate,
+        "image": f"{W}x{H}",
+        "points_budget": cfg.caps.max_points_per_kf,
+        "window": cfg.bundles.window_size,
+        "gn_iters_per_kf": cfg.bundles.max_opt_iterations,
+    }
+
+
+def main():
+    base = measured_cpu_baseline()
+    baseline_rate = base["gn_iters_per_s"] if base else 30.0
+
+    # production-representative: ONE dispatch per keyframe BA (6 GN iters,
+    # setting_maxOptIterations, settings.cpp:81)
+    prod_rate = bench_ba(6)
+    # amortized: 16 keyframes' worth of GN chained in one dispatch
+    amort_rate = bench_ba(96)
+
+    e2e = {}
+    try:
+        e2e = bench_e2e()
+    except Exception as exc:          # never lose the BA numbers
+        e2e = {"error": repr(exc)}
+
     print(json.dumps({
         "metric": "keyframe_ba_gn_iters_per_s",
-        "value": round(iters_per_s, 2),
+        "value": round(prod_rate, 2),
         "unit": "iters/s",
-        "vs_baseline": round(iters_per_s / baseline_iters_per_s, 3),
+        "vs_baseline": round(prod_rate / baseline_rate, 3),
+        "extra": {
+            "ba_iters_per_s_amortized_96": round(amort_rate, 2),
+            "baseline_cpu_measured": base,
+            "baseline_note": ("measured via native/dso_baseline.cpp on this "
+                              "host's CPU (6 threads, -march=native)"
+                              if base else
+                              "toolchain missing; 30 iters/s estimate"),
+            "e2e": e2e,
+            "device": str(jax.devices()[0]),
+        },
     }))
 
 

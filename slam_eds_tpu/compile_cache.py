@@ -15,16 +15,24 @@ import os
 
 
 def machine_fingerprint() -> str:
-    """Short stable hash of the host CPU's feature flags."""
+    """Short stable hash of the host CPU's feature flags AND model name.
+
+    The flags line alone is not enough: XLA derives per-microarchitecture
+    tuning features (e.g. ``prefer-no-scatter``) from the CPU *model*, so
+    two hosts with identical ISA flags can produce mutually-incompatible
+    AOT entries (observed between rounds: 'Machine type used for XLA:CPU
+    compilation doesn't match' loader errors)."""
+    src = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    src = line
-                    break
-            else:
-                src = ""
+                if line.startswith(("flags", "Features", "model name")):
+                    src += line
+                    if src.count("\n") >= 2:
+                        break
     except OSError:
+        pass
+    if not src:
         import platform
         src = platform.processor() + platform.machine()
     return hashlib.sha1(src.encode()).hexdigest()[:12]
@@ -32,11 +40,20 @@ def machine_fingerprint() -> str:
 
 def setup_cache(base_dir: str | None = None,
                 min_compile_secs: float = 1.0) -> str:
-    """Point jax at <base>/.jax_cache/<cpu-fingerprint> and return it."""
+    """Point jax at <base>/.jax_cache/<cpu-fingerprint>-<platform> and
+    return it.
+
+    The platform tag keeps TPU-session processes and pure-CPU processes in
+    separate directories: a TPU-platform plugin can set different XLA:CPU
+    compile preferences (observed: ``prefer-no-scatter``/``prefer-no-gather``
+    target features under the tunnel plugin), and its CPU AOT entries then
+    fail feature validation when a CPU-only process loads them."""
     import jax
     if base_dir is None:
         base_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(base_dir, ".jax_cache", machine_fingerprint())
+    platform = (getattr(jax.config, "jax_platforms", None) or "default")
+    tag = machine_fingerprint() + "-" + str(platform).replace(",", "_")
+    path = os.path.join(base_dir, ".jax_cache", tag)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       min_compile_secs)

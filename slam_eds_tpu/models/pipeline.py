@@ -20,6 +20,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import EDSConfig
@@ -33,6 +34,167 @@ from . import keyframe as kfm
 from .event_frame import create_event_frame
 from .window import WindowManager
 from ..telemetry import Telemetry
+
+from functools import partial as _partial
+
+
+def _tree_where(cond, a, b):
+    """Element-wise select over a pytree (cond scalar bool)."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(cond, x, y), a, b)
+
+
+@_partial(jax.jit, static_argnames=(
+    "height", "width", "num_levels", "use_time_weights", "blur_ksize",
+    "interpolation", "loss_kind", "refinement", "patch_radius",
+    "refine_levels", "do_points_refinement"))
+def _event_packet_fused(tracker_state, pose_filter, depth, cam,
+                        kf_pose_R, kf_pose_t, frame_pred_R, frame_pred_t,
+                        kf_uv, kf_nc, kf_grad,
+                        kf_idp, kf_weight, kf_mask,
+                        xs, ys, ts, ps, n_valid, fwd_maps,
+                        iters_per_level, loss_scale, lim, *,
+                        height, width,
+                        num_levels, use_time_weights, blur_ksize,
+                        interpolation, loss_kind, refinement, patch_radius,
+                        refine_levels, do_points_refinement):
+    """The entire per-packet event step (SURVEY call stack §3.1) as ONE
+    jitted program: event-frame rasterization -> coarse-to-fine
+    event-to-model solve -> solution-usability gate -> pose-filter push ->
+    warp + optional track refinement -> Vogiatzis depth update -> KF-need
+    statistics.
+
+    Rationale: the host orchestration of this path previously issued ~100
+    small dispatches per packet; through a tunneled TPU each costs
+    0.3-1.8 ms of round-trip latency, dwarfing the microseconds of device
+    compute. One dispatch per packet makes the tunnel cost O(1).
+
+    The usability gate (Tracker.cpp:217-240) runs device-side: when the
+    pose step exceeds the configured bounds every state update is selected
+    back to its input (the host reads the `usable` flag from the scalar
+    vector for telemetry/KF policy only).
+
+    lim: dict of traced scalars {mu_range, px_noise, max_step_t,
+    max_step_r, activity_th, search_range, consistency_px}.
+    Returns (state, pose_filter, depth, mask, tracks, residuals,
+    scalars [usable, energy, loss_scale, n_iter, flow, alive_count,
+    ef_time, med_depth], T_w_ef_R, T_w_ef_t, vx).
+    """
+    from ..utils.stats import masked_median
+    H, W = height, width
+    ef = create_event_frame(
+        xs, ys, ts, ps, n_valid, H, W, num_levels=num_levels,
+        fwd_maps=fwd_maps, use_time_weights=use_time_weights,
+        blur_ksize=blur_ksize, interpolation=interpolation)
+    prev = tracker_state
+    med_depth = masked_median(1.0 / jnp.maximum(kf_idp, 1e-6), kf_mask)
+
+    def solve_from(st0):
+        return et._pyramid_fused(st0, ef.frames, cam, kf_nc, kf_grad,
+                                 kf_idp, kf_weight, kf_mask,
+                                 iters_per_level, loss_kind, loss_scale,
+                                 False)
+
+    def gate(res):
+        # solution-usability (Tracker.cpp:217-240): translation bound
+        # relative to median scene depth (monocular scale is arbitrary),
+        # rotation absolute
+        dT = et.pose_kf_ef(res.state).compose(et.pose_kf_ef(prev).inverse())
+        d_tau = dT.log()
+        return (jnp.isfinite(res.energy)
+                & jnp.all(jnp.isfinite(d_tau))
+                & (jnp.linalg.norm(d_tau[:3])
+                   < lim["max_step_t"] * med_depth)
+                & (jnp.linalg.norm(d_tau[3:]) < lim["max_step_r"]))
+
+    res = solve_from(prev)
+    usable1 = gate(res)
+    # retry ladder (the event-path analog of the frame tracker's
+    # motion-hypothesis list): a diverged warm start is re-solved from the
+    # frame tracker's pose prediction (T_ef_kf = T_cw_frame o T_w_kf — the
+    # reference's driver re-seeds the event tracker from the frame pose
+    # the same way), then from the keyframe pose (identity). lax.cond
+    # makes both retries free when the earlier solve passes the gate.
+    from ..utils import lie as _lie
+    pred_R = frame_pred_R @ kf_pose_R
+    pred_t = frame_pred_R @ kf_pose_t + frame_pred_t
+    res = jax.lax.cond(
+        usable1, lambda _: res,
+        lambda _: solve_from(prev._replace(
+            px=pred_t, qx=_lie.mat_to_quat(pred_R))),
+        None)
+    usable2 = usable1 | gate(res)
+    res = jax.lax.cond(
+        usable2, lambda _: res,
+        lambda _: solve_from(prev._replace(
+            px=jnp.zeros(3, kf_uv.dtype),
+            qx=jnp.asarray([1.0, 0.0, 0.0, 0.0], kf_uv.dtype))),
+        None)
+    usable = usable2 | gate(res)
+
+    new_state = _tree_where(usable, res.state, prev)
+    pf_pushed = et.pose_filter_push(pose_filter, et.pose_kf_ef(res.state))
+    new_pf = _tree_where(usable, pf_pushed, pose_filter)
+    T_kf_ef_s = et.pose_filter_mean(new_pf)
+    T_w_ef = SE3(kf_pose_R, kf_pose_t).compose(T_kf_ef_s)
+
+    # warp + config-gated track refinement (Tracker.cpp:378-553)
+    uv_ef, alive = et.warp_coords(res.state, cam, kf_nc, kf_idp, kf_mask)
+    if refinement in ("klt", "klt_pyr"):
+        delta, _ = et.refine_tracks_klt(
+            ef.frames[0], uv_ef, kf_grad, alive, patch_radius=patch_radius,
+            num_levels=(refine_levels if refinement == "klt_pyr" else 1))
+        uv_ef = uv_ef + delta
+    elif refinement == "model_klt":
+        from ..ops.event_tracker import compute_flow as _cflow
+        flow_m = _cflow(kf_nc, res.state.vx, kf_idp)
+        model = -(kf_grad[:, 0] * flow_m[:, 0] + kf_grad[:, 1] * flow_m[:, 1])
+        model = jnp.where(kf_mask, model, 0.0)
+        model = model / jnp.sqrt(1e-3 + jnp.sum(model * model))
+        delta, _ = et.refine_tracks_model_klt(
+            ef.frames[0], uv_ef, model, alive, patch_radius=patch_radius)
+        uv_ef = uv_ef + delta
+    elif refinement == "epiline":
+        from ..ops.event_tracker import compute_flow as _cflow
+        flow_m = _cflow(kf_nc, res.state.vx, kf_idp)
+        model = -(kf_grad[:, 0] * flow_m[:, 0] + kf_grad[:, 1] * flow_m[:, 1])
+        model = jnp.where(kf_mask, model, 0.0)
+        model = model / jnp.sqrt(1e-3 + jnp.sum(model * model))
+        uv_ef, alive = et.refine_tracks_epiline(
+            ef.frames[0], kf_uv, uv_ef, model, alive,
+            et.pose_kf_ef(res.state), cam, patch_radius=patch_radius,
+            search_range=lim["search_range"],
+            consistency_px=lim["consistency_px"])
+    tracks = uv_ef - kf_uv
+
+    T_kf_ef = et.pose_kf_ef(res.state)
+    depth_new = df.update(depth, T_kf_ef, kf_uv, tracks, cam,
+                          mu_range=lim["mu_range"],
+                          px_noise=lim["px_noise"], mask=alive)
+    mask_new = alive
+    if do_points_refinement:
+        # drop points without nearby event activity (pointsRefinement,
+        # KeyFrame.cpp:1031-1058)
+        offs = jnp.arange(-2, 3, dtype=kf_uv.dtype)
+        dy, dx = jnp.meshgrid(offs, offs, indexing="ij")
+        from ..utils.interp import bilinear
+        act = jnp.max(jnp.abs(bilinear(
+            ef.frames[0], kf_uv[:, 0:1] + dx.ravel()[None, :],
+            kf_uv[:, 1:2] + dy.ravel()[None, :])), axis=-1)
+        mask_new = mask_new & (act > lim["activity_th"])
+
+    depth_out = _tree_where(usable, depth_new, depth)
+    mask_out = jnp.where(usable, mask_new, kf_mask)
+    flow = et.mean_flow_magnitude(uv_ef, kf_uv, alive)
+    scalars = jnp.stack([
+        usable.astype(jnp.float32), res.energy,
+        res.loss_scale.astype(jnp.float32),
+        res.n_iter.astype(jnp.float32), flow,
+        jnp.sum(mask_out).astype(jnp.float32),
+        ef.time.astype(jnp.float32), med_depth])
+    return (new_state, new_pf, depth_out, mask_out, tracks, res.residuals,
+            scalars, T_w_ef.R, T_w_ef.t, res.state.vx)
 
 
 @dataclass
@@ -410,116 +572,87 @@ class EDSPipeline:
             self.cfg.tracker.pose_filter_window)
 
     # ------------------------------------------------------------------
+    def _packet_step_args(self):
+        """Cache the fused-step config: traced limit scalars + statics."""
+        if getattr(self, "_psa", None) is not None:
+            return self._psa
+        cfg = self.cfg
+        lim = {
+            "mu_range": jnp.float32(cfg.mapping.max_depth
+                                    - cfg.mapping.min_depth),
+            "px_noise": jnp.float32(cfg.mapping.px_noise),
+            "max_step_t": jnp.float32(cfg.tracker.max_step_translation),
+            "max_step_r": jnp.float32(cfg.tracker.max_step_rotation),
+            "activity_th": jnp.float32(cfg.keyframe.refinement_activity_th),
+            "search_range": jnp.float32(cfg.tracker.refinement_search_range),
+            "consistency_px": jnp.float32(
+                cfg.tracker.refinement_consistency_px),
+        }
+        iters = jnp.asarray(
+            [cfg.tracker.max_iterations[
+                min(l, len(cfg.tracker.max_iterations) - 1)]
+             for l in range(cfg.event_frame.num_levels)], jnp.int32)
+        statics = dict(
+            height=self.cam.height, width=self.cam.width,
+            num_levels=cfg.event_frame.num_levels,
+            use_time_weights=cfg.event_frame.time_weighted,
+            blur_ksize=cfg.event_frame.gaussian_blur_ksize,
+            interpolation=cfg.event_frame.interpolation,
+            loss_kind=cfg.tracker.loss.kind,
+            refinement=cfg.tracker.track_refinement,
+            patch_radius=cfg.tracker.refinement_patch_radius,
+            refine_levels=cfg.tracker.refinement_pyr_levels,
+            do_points_refinement=cfg.keyframe.points_refinement)
+        self._psa = (lim, iters, statics)
+        return self._psa
+
     def process_events(self, packet, fwd_maps=None):
         """Feed one event packet (EventPacket). Returns worldToCam pose of
-        the event frame, or None before initialization."""
+        the event frame, or None before initialization.
+
+        The whole numeric step runs as one jitted dispatch
+        (``_event_packet_fused``); this wrapper only owns telemetry,
+        recording, and the keyframe-promotion flag."""
         if self.kf is None:
             return None
-        ef = create_event_frame(
+        kf = self.kf
+        lim, iters, statics = self._packet_step_args()
+        pred = self.frame_pipe._last_pose
+        (state, pf, depth, mask, tracks, residuals, scalars,
+         R_wef, t_wef, vx) = _event_packet_fused(
+            self.tracker_state, self.pose_filter, self.depth, self.cam,
+            kf.pose.R, kf.pose.t, pred.R, pred.t,
+            kf.uv, kf.norm_coord, kf.grad, kf.idepth,
+            kf.weight, kf.mask,
             jnp.asarray(packet.xs), jnp.asarray(packet.ys),
             jnp.asarray(packet.ts), jnp.asarray(packet.polarity),
-            jnp.asarray(packet.n_valid),
-            self.cam.height, self.cam.width,
-            num_levels=self.cfg.event_frame.num_levels,
-            use_time_weights=self.cfg.event_frame.time_weighted,
-            blur_ksize=self.cfg.event_frame.gaussian_blur_ksize,
-            interpolation=self.cfg.event_frame.interpolation,
-            fwd_maps=fwd_maps)
-        kf = self.kf
-        prev_state = self.tracker_state
-        res = et.optimize_pyramid(
-            self.tracker_state, ef.frames, self.cam,
-            kf.norm_coord, kf.grad, kf.idepth, kf.weight, kf.mask,
-            iterations_per_level=self.cfg.tracker.max_iterations,
-            loss_kind=self.cfg.tracker.loss.kind,
-            loss_scale=self.loss_scale)
-
-        # solution-usability gate (Tracker.cpp:217-240): reject solves whose
-        # pose step since the previous packet is unbounded (the normalized
-        # cost has a flat basin once all points warp off-frame; a step there
-        # is never a real camera motion at packet rate). On reject: revert,
-        # request a new keyframe, skip all downstream updates.
-        dT = et.pose_kf_ef(res.state).compose(
-            et.pose_kf_ef(prev_state).inverse())
-        d_tau = np.asarray(dT.log())
-        # translation bound is relative to the median scene depth — the
-        # monocular scale is arbitrary (parallax-ratio form of the
-        # occlusion KF criterion, Utils.hpp:292-299)
-        from ..utils.stats import masked_median
-        med_depth = float(masked_median(
-            1.0 / jnp.maximum(kf.idepth, 1e-6), kf.mask))
-        usable = (np.isfinite(float(res.energy))
-                  and np.isfinite(d_tau).all()
-                  and np.linalg.norm(d_tau[:3])
-                  < self.cfg.tracker.max_step_translation * med_depth
-                  and np.linalg.norm(d_tau[3:])
-                  < self.cfg.tracker.max_step_rotation)
+            jnp.asarray(packet.n_valid), fwd_maps,
+            iters, jnp.float32(self.loss_scale), lim, **statics)
+        sc = np.asarray(scalars)      # ONE device->host sync per packet
+        usable = bool(sc[0] > 0.5)
         if not usable:
-            self.tracker_state = prev_state
+            # rejected solve: fused step already selected every state back
+            # to its input (Tracker.cpp:217-240 gate)
             self.telemetry.counters["event_solve_rejected"] = \
                 self.telemetry.counters.get("event_solve_rejected", 0) + 1
             self._pending_kf = True
             return None
-        self.tracker_state = res.state
+        self.tracker_state = state
+        self.pose_filter = pf
+        self.depth = depth
         if self.cfg.tracker.loss.scale_estimator == "mad":
-            self.loss_scale = float(res.loss_scale)
-        self.telemetry.event_solve(n_iter=int(res.n_iter),
-                                   energy=float(res.energy))
+            self.loss_scale = float(sc[2])
+        self.telemetry.event_solve(n_iter=int(sc[3]), energy=float(sc[1]))
 
-        # pose: T_kf_ef smoothed by the Lie-mean filter
-        T_kf_ef = et.pose_kf_ef(res.state)
-        self.pose_filter = et.pose_filter_push(self.pose_filter, T_kf_ef)
-        T_kf_ef_s = et.pose_filter_mean(self.pose_filter)
-        T_w_ef = kf.pose.compose(T_kf_ef_s)   # camToWorld of event frame
-        self.event_poses.append(np.asarray(T_w_ef.t))
+        T_w_ef = SE3(R_wef, t_wef)
+        self.event_poses.append(np.asarray(t_wef))
         self.event_pose_list.append(T_w_ef.inverse())
         if self.recorder is not None:
-            t_ef = float(ef.time)
-            self.recorder.record_pose(t_ef, T_w_ef)
-            self.recorder.record_velocity(t_ef, res.state.vx)
+            self.recorder.record_pose(float(sc[6]), T_w_ef)
+            self.recorder.record_velocity(float(sc[6]), vx)
 
-        # track update + depth filter (call stack §3.1)
-        uv_ef, alive = et.warp_coords(res.state, self.cam, kf.norm_coord,
-                                      kf.idepth, kf.mask)
-        # config-gated refinement of the warp-predicted tracks against this
-        # event frame (Tracker.cpp:378-553) before DepthPoints::update
-        mode = self.cfg.tracker.track_refinement
-        if mode in ("klt", "klt_pyr"):
-            delta, _ = et.refine_tracks_klt(
-                ef.frames[0], uv_ef, kf.grad, alive,
-                patch_radius=self.cfg.tracker.refinement_patch_radius,
-                num_levels=(self.cfg.tracker.refinement_pyr_levels
-                            if mode == "klt_pyr" else 1))
-            uv_ef = uv_ef + delta
-        elif mode == "model_klt":
-            model = kfm.sparse_model(kf, res.state.vx)
-            delta, _ = et.refine_tracks_model_klt(
-                ef.frames[0], uv_ef, model, alive,
-                patch_radius=self.cfg.tracker.refinement_patch_radius)
-            uv_ef = uv_ef + delta
-        elif mode == "epiline":
-            model = kfm.sparse_model(kf, res.state.vx)
-            uv_ef, alive = et.refine_tracks_epiline(
-                ef.frames[0], kf.uv, uv_ef, model, alive,
-                et.pose_kf_ef(res.state), self.cam,
-                patch_radius=self.cfg.tracker.refinement_patch_radius,
-                search_range=self.cfg.tracker.refinement_search_range,
-                consistency_px=self.cfg.tracker.refinement_consistency_px)
-        tracks = uv_ef - kf.uv
-        self.depth = df.update(self.depth, T_kf_ef, kf.uv, tracks, self.cam,
-                               mu_range=(self.cfg.mapping.max_depth
-                                         - self.cfg.mapping.min_depth),
-                               px_noise=self.cfg.mapping.px_noise,
-                               mask=alive)
-        self.kf = kf._replace(mask=alive, track=tracks,
-                              residual=res.residuals,
-                              idepth=self.depth.mu)
-        if self.cfg.keyframe.points_refinement:
-            # drop points without nearby event activity
-            # (pointsRefinement, KeyFrame.cpp:1031-1058)
-            self.kf = kfm.points_refinement(
-                self.kf, ef.frames[0],
-                activity_threshold=self.cfg.keyframe.refinement_activity_th)
+        self.kf = kf._replace(mask=mask, track=tracks, residual=residuals,
+                              idepth=depth.mu)
 
         # the event tracker is the between-frame tracker of the system:
         # seed the frame front-end's next coarse track from its pose
@@ -529,9 +662,9 @@ class EDSPipeline:
         # KF-need from flow magnitude / point loss (Tracker::needNewKeyframe
         # + KeyFrame::needNewKF); consumed at the next frame arrival, which
         # provides the new keyframe image (SURVEY §3.2)
-        flow = float(et.mean_flow_magnitude(uv_ef, kf.uv, alive))
+        flow, alive_count = float(sc[4]), float(sc[5])
         if flow > self.cfg.tracker.kf_flow_threshold ** 2 or \
-                bool(kfm.need_new_kf(self.kf,
-                                     self.cfg.keyframe.kf_point_loss_percent)):
+                alive_count < (1.0 - self.cfg.keyframe.kf_point_loss_percent) \
+                * float(kf.n_initial):
             self._pending_kf = True
         return T_w_ef.inverse()

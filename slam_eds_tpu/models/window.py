@@ -54,8 +54,127 @@ def _track_coarse_compiled(templates, pyr, cams, pose, aff, exposures,
         huber_th=huber_th, cutoff_th=cutoff_th)
 
 
+@_partial(jax.jit, static_argnames=("max_iterations", "huber_th",
+                                    "cutoff_th"))
+def _track_frame_compiled(state, slot, templates, pyr, cams, pose_init,
+                          aff_init, exposure, *, max_iterations, huber_th,
+                          cutoff_th):
+    """track_frame's whole device program in one dispatch: relative-pose
+    prefix (refToNew from the window state) + the coarse LM + the world
+    pose composition. Returns (TrackResult, T_wc)."""
+    T = state.current_poses()
+    T_kf = SE3(T.R[slot], T.t[slot])
+    ref_to_new = pose_init.compose(T_kf.inverse())
+    aff_kf = state.current_aff()[slot]
+    res = ct.track_newest_coarse(
+        templates, pyr, cams, ref_to_new, aff_init,
+        (state.exposure[slot], exposure), aff_kf,
+        jnp.full((len(cams),), 1e9, jnp.float32),
+        max_iterations=max_iterations, huber_th=huber_th,
+        cutoff_th=cutoff_th)
+    T_wc = res.pose.compose(T_kf)
+    return res, T_wc
+
+
 _build_template_compiled = jax.jit(ct.build_template,
                                    static_argnames=("caps",))
+
+
+@_partial(jax.jit, static_argnames=("num_levels",))
+def _pyramid_compiled(img, num_levels):
+    levels, _ = image_ops.build_pyramid(img, num_levels)
+    return levels
+
+
+@jax.jit
+def _all_pairs_compiled(state, K):
+    """All host->target pair tensors in ONE dispatch: KRKi [F,F,3,3],
+    Kt [F,F,3], aff [F,F,2] at the current state.
+
+    Replaces the per-pair ``_pair_krki_kt_aff`` calls (each ~10 separate
+    un-jitted ops; trace_all + activate_points issued O(F^2) of them per
+    keyframe, which through a tunneled TPU's ~ms dispatch latency dominated
+    the whole keyframe cost)."""
+    T = state.current_poses()
+    R_wc = jnp.swapaxes(T.R, -1, -2)                  # [F, 3, 3]
+    t_wc = -jnp.einsum("fij,fj->fi", R_wc, T.t)
+    # T_th = T_t o T_h^-1: R = R_t R_h^T, t = t_t - R_t R_h^T t_h
+    R_th = jnp.einsum("tij,hkj->thik", T.R, T.R)      # [F_t, F_h, 3, 3]
+    t_th = T.t[:, None, :] - jnp.einsum("thik,hk->thi", R_th, T.t)
+    Kinv = jnp.linalg.inv(K)
+    KRKi = jnp.einsum("ij,thjk,kl->htil", K, R_th, Kinv)   # [host, tgt,...]
+    Kt = jnp.einsum("ij,thj->hti", K, t_th)
+    a_rel, b_rel = energy.relative_affine(state, use_zero=False)
+    aff = jnp.stack([a_rel, b_rel], -1)               # [host, tgt, 2]
+    return KRKi, Kt, aff
+
+
+@_partial(jax.jit, static_argnames=("gn_iterations",))
+def _activate_idepth_v(pts_stack, images, KRKis, Kts, affs, tmasks,
+                       gn_iterations: int):
+    """Activation GN for EVERY contributing window slot in one dispatch:
+    vmap of immature.activate_idepth over the slot axis (images shared)."""
+    return jax.vmap(
+        lambda p, kr, kt, af, tm: immature.activate_idepth(
+            p, images, kr, kt, af, tm, gn_iterations=gn_iterations)
+    )(pts_stack, KRKis, Kts, affs, tmasks)
+
+
+@_partial(jax.jit, static_argnames=("outlier_th",))
+def _activate_commit_compiled(state, images, dst, host, uv, idp, *,
+                              outlier_th: float):
+    """Batched point-activation commit: sample pattern colors/weights from
+    each new point's host image and scatter all per-point arrays in one
+    program. ``dst`` rows >= P are padding and are dropped."""
+    from ..utils.interp import bilinear_3
+    offs = jnp.asarray(image_ops.PATTERN_DSO8, jnp.float32)
+    hit = jax.vmap(
+        lambda h, uv1: bilinear_3(images[h], uv1[0] + offs[:, 0],
+                                  uv1[1] + offs[:, 1]))(host, uv)  # [M,8,3]
+    colors = hit[..., 0]
+    g2 = jnp.sum(hit[..., 1:3] ** 2, -1)
+    w = jnp.sqrt(outlier_th / (outlier_th + g2))
+    F = state.num_frames
+    r_rows = state.frame_valid[None, :] & (jnp.arange(F)[None, :]
+                                           != host[:, None])
+    mode = dict(mode="drop")
+    return state._replace(
+        p_host=state.p_host.at[dst].set(host, **mode),
+        p_uv=state.p_uv.at[dst].set(uv, **mode),
+        p_idepth=state.p_idepth.at[dst].set(idp, **mode),
+        p_idepth_zero=state.p_idepth_zero.at[dst].set(idp, **mode),
+        p_color=state.p_color.at[dst].set(colors, **mode),
+        p_weight=state.p_weight.at[dst].set(w, **mode),
+        p_prior=state.p_prior.at[dst].set(0.0, **mode),
+        p_status=state.p_status.at[dst].set(bs.PT_ACTIVE, **mode),
+        r_active=state.r_active.at[dst].set(r_rows, **mode),
+    )
+
+
+@_partial(jax.jit, static_argnames=("height", "width"))
+def _project_active_to_newest(state, cam_vec, newest_slot, *, height,
+                              width):
+    """Project all active points into the newest KF — the device part of
+    ``rebuild_coarse_template`` fused into one dispatch. Returns
+    (uv [P, 2], idepth_new [P], ok [P])."""
+    fx, fy, cx, cy = cam_vec[0], cam_vec[1], cam_vec[2], cam_vec[3]
+    T = state.current_poses()
+    T_new = SE3(T.R[newest_slot], T.t[newest_slot])
+    active = (state.p_status == bs.PT_ACTIVE)
+    host = state.p_host
+    Th = SE3(T.R[host], T.t[host])
+    x = (state.p_uv[:, 0] - cx) / fx
+    y = (state.p_uv[:, 1] - cy) / fy
+    z = 1.0 / jnp.maximum(state.p_idepth, 1e-6)
+    X_h = jnp.stack([x * z, y * z, z], -1)
+    X_w = Th.inverse().apply(X_h)
+    X_n = T_new.apply(X_w)
+    u = fx * X_n[:, 0] / X_n[:, 2] + cx
+    v = fy * X_n[:, 1] / X_n[:, 2] + cy
+    idn = 1.0 / jnp.maximum(X_n[:, 2], 1e-6)
+    ok = active & (X_n[:, 2] > 1e-6) & (u > 1) & (v > 1) \
+        & (u < width - 2) & (v < height - 2)
+    return jnp.stack([u, v], -1), idn, ok
 
 
 @dataclass
@@ -97,9 +216,8 @@ class WindowManager:
         return int(free[0])
 
     def _pyramid(self, img):
-        levels, _ = image_ops.build_pyramid(jnp.asarray(img, jnp.float32),
-                                            self.cfg.coarse.pyr_levels)
-        return levels
+        return _pyramid_compiled(jnp.asarray(img, jnp.float32),
+                                 num_levels=self.cfg.coarse.pyr_levels)
 
     # ------------------------------------------------------------------
     def insert_frame(self, img, T_wc: SE3, time: float, aff=(0.0, 0.0),
@@ -186,25 +304,33 @@ class WindowManager:
                          b_rel[host_slot, target_slot]])
         return KRKi, Kt, aff
 
+    def all_pairs(self):
+        """Batched host->target pair tensors as numpy (one dispatch + one
+        transfer; see _all_pairs_compiled)."""
+        KRKi, Kt, aff = _all_pairs_compiled(self.state, self.cam.K)
+        return jax.device_get((KRKi, Kt, aff))
+
     def trace_all(self, target_slot: int):
         """traceOn all immature points of every other frame against the
         target frame (FullSystem::traceNewCoarse equivalent)."""
         H, W = self.cam.height, self.cam.width
         tgt = self.pyramids[target_slot][0]
+        valid = np.asarray(self.state.frame_valid)
+        KRKi, Kt, aff = self.all_pairs()
         for slot in range(self.state.num_frames):
             if slot == target_slot or self.immatures[slot] is None:
                 continue
-            if not bool(self.state.frame_valid[slot]):
+            if not valid[slot]:
                 continue
-            KRKi, Kt, aff = self._pair_krki_kt_aff(slot, target_slot)
             self.immatures[slot] = immature.trace_on(
-                self.immatures[slot], tgt, KRKi, Kt, aff, W, H,
+                self.immatures[slot], tgt, KRKi[slot, target_slot],
+                Kt[slot, target_slot], aff[slot, target_slot], W, H,
                 huber_th=self.cfg.bundles.huber_th,
                 energy_th=8 * self.cfg.immature.outlier_th,
                 max_pix_search_frac=self.cfg.immature.max_pix_search)
 
     # ------------------------------------------------------------------
-    def _activation_distance_map(self):
+    def _activation_distance_map(self, pairs_np=None):
         """Level-1 distance map from the projections of all active points
         into the newest keyframe (CoarseDistanceMap::makeDistanceMap,
         reference src/tracking/CoarseTracker.cpp:703+)."""
@@ -215,16 +341,18 @@ class WindowManager:
         uvs = np.asarray(st.p_uv)
         proj = np.array(uvs)
         if self.newest_slot >= 0:
+            KRKi_all, Kt_all, _ = pairs_np or self.all_pairs()
             idp = np.asarray(st.p_idepth)
             hosts = np.asarray(st.p_host)
             for slot in range(st.num_frames):
                 sel = (hosts == slot) & active
                 if slot == self.newest_slot or not sel.any():
                     continue
-                KRKi, Kt, _ = self._pair_krki_kt_aff(slot, self.newest_slot)
-                xyz = (np.asarray(KRKi) @ np.stack(
+                KRKi = KRKi_all[slot, self.newest_slot]
+                Kt = Kt_all[slot, self.newest_slot]
+                xyz = (KRKi @ np.stack(
                     [uvs[sel, 0], uvs[sel, 1], np.ones(sel.sum())])).T \
-                    + np.asarray(Kt)[None, :] * idp[sel, None]
+                    + Kt[None, :] * idp[sel, None]
                 proj[sel, 0] = xyz[:, 0] / np.maximum(xyz[:, 2], 1e-6)
                 proj[sel, 1] = xyz[:, 1] / np.maximum(xyz[:, 2], 1e-6)
         return dmap.coarse_distance_map(jnp.asarray(proj) * 0.5,
@@ -237,10 +365,17 @@ class WindowManager:
         quality above threshold, tight relative interval). Candidates are
         gated + ranked by the coarse distance map so activation stays
         spatially distributed, with the activation distance adapting to the
-        active-point count (DSO's currentMinActivationDistance policy)."""
-        from ..ops import distance_map as dmap
+        active-point count (DSO's currentMinActivationDistance policy).
+
+        Dispatch budget (the tunnel-latency audit, VERDICT r3 item 6): one
+        all-pairs program, one distance-map program, ONE stacked activation
+        GN over every slot (vmapped), one device_get of the candidate
+        fields, and one batched commit program — independent of how many
+        window slots contribute points (previously ~10 device calls per
+        slot per keyframe)."""
         st = self.state
-        free = np.where(np.asarray(st.p_status) == bs.PT_EMPTY)[0]
+        status_np = np.asarray(st.p_status)
+        free = np.where(status_np == bs.PT_EMPTY)[0]
         budget = len(free) if max_new is None else min(len(free), max_new)
         if budget == 0:
             return 0
@@ -250,7 +385,7 @@ class WindowManager:
         # equilibrium in [0, 4]; we map the density ratio there directly
         # (same fixed point, reached immediately), so sparse windows are
         # never gated and saturated windows spread spatially.
-        n_active = int((np.asarray(st.p_status) == bs.PT_ACTIVE).sum())
+        n_active = int((status_np == bs.PT_ACTIVE).sum())
         desired = self.cfg.selector.desired_point_density
         ratio = n_active / max(desired, 1.0)
         # the reference's [0, 4] L1-pixel range is tuned for 640-wide
@@ -258,93 +393,96 @@ class WindowManager:
         res_scale = self.cam.width / 640.0
         self.min_act_dist = float(np.clip(4.0 * (ratio - 0.4) / 0.6,
                                           0.0, 4.0)) * res_scale
-        dist_map = self._activation_distance_map()
+
+        F = st.num_frames
+        valid_np = np.asarray(st.frame_valid)
+        pairs_np = self.all_pairs()
+        dist_np = np.asarray(self._activation_distance_map(pairs_np))
+
+        slots = [s for s in range(F)
+                 if self.immatures[s] is not None and valid_np[s]]
+        if not slots:
+            return 0
+
+        # ONE stacked activation GN over all contributing slots
+        KRKi_np, Kt_np, aff_np = pairs_np
+        pts_stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[self.immatures[s] for s in slots])
+        tmask_np = np.stack([valid_np & (np.arange(F) != s) for s in slots])
+        idp_all, _ = _activate_idepth_v(
+            pts_stack, self.images,
+            jnp.asarray(KRKi_np[slots]), jnp.asarray(Kt_np[slots]),
+            jnp.asarray(aff_np[slots]), jnp.asarray(tmask_np),
+            gn_iterations=self.cfg.immature.gn_its_on_activation)
+        # ONE transfer of everything the host policy reads
+        (status_s, quality_s, lo_s, hi_s, mask_s, uv_s, idp_s) = \
+            jax.device_get((pts_stack.status, pts_stack.quality,
+                            pts_stack.idepth_min, pts_stack.idepth_max,
+                            pts_stack.mask, pts_stack.uv, idp_all))
 
         total = 0
-        F = st.num_frames
-        target_mask = st.frame_valid
-        for slot in range(F):
-            pts = self.immatures[slot]
-            if pts is None or not bool(st.frame_valid[slot]):
-                continue
-            status = np.asarray(pts.status)
-            quality = np.asarray(pts.quality)
-            lo = np.asarray(pts.idepth_min)
-            hi = np.asarray(pts.idepth_max)
-            mask = np.asarray(pts.mask)
-            good = mask & np.isin(status, [immature.IPS_GOOD,
-                                           immature.IPS_SKIPPED])
-            good &= quality > self.cfg.immature.min_trace_quality
-            good &= np.isfinite(hi) & (hi > 0) & ((hi + lo) > 0)
+        sel_dst, sel_host, sel_uv, sel_idp = [], [], [], []
+        dh, dw = dist_np.shape
+        for si, slot in enumerate(slots):
+            good = mask_s[si] & np.isin(status_s[si],
+                                        [immature.IPS_GOOD,
+                                         immature.IPS_SKIPPED])
+            good &= quality_s[si] > self.cfg.immature.min_trace_quality
+            good &= np.isfinite(hi_s[si]) & (hi_s[si] > 0) \
+                & ((hi_s[si] + lo_s[si]) > 0)
             cand = np.where(good)[0]
             if len(cand) == 0:
                 continue
-            # spatial gate + ranking by distance-map value in the newest KF
-            uv_c = np.asarray(pts.uv)[cand]
-            idp_c = 0.5 * (lo[cand] + hi[cand])
+            # spatial gate by distance-map value in the newest KF
+            uv_c = uv_s[si][cand]
+            idp_c = 0.5 * (lo_s[si][cand] + hi_s[si][cand])
             if slot != self.newest_slot and self.newest_slot >= 0:
-                KRKi, Kt, _ = self._pair_krki_kt_aff(slot, self.newest_slot)
-                xyz = (np.asarray(KRKi) @ np.stack(
+                KRKi = KRKi_np[slot, self.newest_slot]
+                Kt = Kt_np[slot, self.newest_slot]
+                xyz = (KRKi @ np.stack(
                     [uv_c[:, 0], uv_c[:, 1], np.ones(len(cand))])).T \
-                    + np.asarray(Kt)[None, :] * idp_c[:, None]
+                    + Kt[None, :] * idp_c[:, None]
                 uv_c = xyz[:, :2] / np.maximum(xyz[:, 2:3], 1e-6)
-            d_c = np.asarray(dmap.sample_distance(
-                dist_map, jnp.asarray(uv_c * 0.5, jnp.float32)))
-            # gate only (DSO gates on the distance, selection order stays
-            # the selector's gradient-quality order)
-            spaced = d_c >= self.min_act_dist
+            ix = np.clip(np.round(uv_c[:, 0] * 0.5).astype(int), 0, dw - 1)
+            iy = np.clip(np.round(uv_c[:, 1] * 0.5).astype(int), 0, dh - 1)
+            spaced = dist_np[iy, ix] >= self.min_act_dist
             if spaced.any():
                 cand = cand[spaced]
             take = cand[: budget - total]
             if len(take) == 0:
                 break
-            # idepth refinement against all window frames
-            KRKis, Kts, affs = [], [], []
-            for t in range(F):
-                KRKi, Kt, aff = self._pair_krki_kt_aff(slot, t)
-                KRKis.append(KRKi)
-                Kts.append(Kt)
-                affs.append(aff)
-            idp_all, e_all = immature.activate_idepth(
-                pts, self.images, jnp.stack(KRKis), jnp.stack(Kts),
-                jnp.stack(affs),
-                target_mask & (jnp.arange(F) != slot),
-                gn_iterations=self.cfg.immature.gn_its_on_activation)
-            idp_np = np.asarray(idp_all)
-
-            # pattern colors/weights in the host image
-            pyr0 = self.pyramids[slot][0]
-            uv_t = pts.uv[jnp.asarray(take)]
-            offs = jnp.asarray(image_ops.PATTERN_DSO8, jnp.float32)
-            from ..utils.interp import bilinear_3
-            hit = bilinear_3(pyr0, uv_t[:, 0:1] + offs[None, :, 0],
-                             uv_t[:, 1:2] + offs[None, :, 1])
-            colors = hit[..., 0]
-            g2 = jnp.sum(hit[..., 1:3] ** 2, -1)
-            w = jnp.sqrt(self.cfg.bundles.outlier_th_sum_component
-                         / (self.cfg.bundles.outlier_th_sum_component + g2))
-
-            dst = jnp.asarray(free[total: total + len(take)])
-            idp_new = jnp.maximum(jnp.asarray(idp_np[take]), 1e-4)
-            self.state = self.state._replace(
-                p_host=self.state.p_host.at[dst].set(slot),
-                p_uv=self.state.p_uv.at[dst].set(uv_t),
-                p_idepth=self.state.p_idepth.at[dst].set(idp_new),
-                p_idepth_zero=self.state.p_idepth_zero.at[dst].set(idp_new),
-                p_color=self.state.p_color.at[dst].set(colors),
-                p_weight=self.state.p_weight.at[dst].set(w),
-                p_prior=self.state.p_prior.at[dst].set(0.0),
-                p_status=self.state.p_status.at[dst].set(bs.PT_ACTIVE),
-                r_active=self.state.r_active.at[dst].set(
-                    target_mask & (jnp.arange(F) != slot)),
-            )
+            dst = free[total: total + len(take)]
+            sel_dst.append(dst)
+            sel_host.append(np.full(len(take), slot, np.int32))
+            sel_uv.append(uv_s[si][take])
+            sel_idp.append(np.maximum(idp_s[si][take], 1e-4))
             # consume the immature slots
-            m = np.array(pts.mask)   # writable copy
+            m = np.array(mask_s[si])
             m[take] = False
-            self.immatures[slot] = pts._replace(mask=jnp.asarray(m))
+            self.immatures[slot] = self.immatures[slot]._replace(
+                mask=jnp.asarray(m))
             total += len(take)
             if total >= budget:
                 break
+        if total == 0:
+            return 0
+
+        # ONE batched commit (colors/weights sampled device-side from the
+        # stacked window images; padded to a bucket size so the program
+        # re-compiles only per bucket, not per activation count)
+        P = st.p_uv.shape[0]
+        bucket = 1
+        while bucket < total:
+            bucket *= 2
+        pad = bucket - total
+        dst_b = np.concatenate(sel_dst + [np.full(pad, P, np.int64)])
+        host_b = np.concatenate(sel_host + [np.zeros(pad, np.int32)])
+        uv_b = np.concatenate(sel_uv + [np.zeros((pad, 2), np.float32)])
+        idp_b = np.concatenate(sel_idp + [np.ones(pad, np.float32)])
+        self.state = _activate_commit_compiled(
+            st, self.images, jnp.asarray(dst_b), jnp.asarray(host_b),
+            jnp.asarray(uv_b), jnp.asarray(idp_b),
+            outlier_th=self.cfg.bundles.outlier_th_sum_component)
         return total
 
     # ------------------------------------------------------------------
@@ -533,27 +671,14 @@ class WindowManager:
     # ------------------------------------------------------------------
     def rebuild_coarse_template(self):
         """Project active points into the newest KF and rebuild the coarse
-        tracking templates (CoarseTracker::setCoarseTrackingRef)."""
-        st = self.state
+        tracking templates (CoarseTracker::setCoarseTrackingRef). Two
+        dispatches: the fused projection + the template build."""
         slot = self.newest_slot
-        T = st.current_poses()
-        T_new = SE3(T.R[slot], T.t[slot])
-        active = (st.p_status == bs.PT_ACTIVE)
-        # project each point into the newest frame
-        host = st.p_host
-        Th = SE3(T.R[host], T.t[host])
-        x = (st.p_uv[:, 0] - self.cam.cx) / self.cam.fx
-        y = (st.p_uv[:, 1] - self.cam.cy) / self.cam.fy
-        z = 1.0 / jnp.maximum(st.p_idepth, 1e-6)
-        X_h = jnp.stack([x * z, y * z, z], -1)
-        X_w = Th.inverse().apply(X_h)
-        X_n = T_new.apply(X_w)
-        u = self.cam.fx * X_n[:, 0] / X_n[:, 2] + self.cam.cx
-        v = self.cam.fy * X_n[:, 1] / X_n[:, 2] + self.cam.cy
-        idn = 1.0 / jnp.maximum(X_n[:, 2], 1e-6)
-        ok = active & (X_n[:, 2] > 1e-6) & (u > 1) & (v > 1) \
-            & (u < self.cam.width - 2) & (v < self.cam.height - 2)
-        uv = jnp.stack([u, v], -1)
+        cam_vec = jnp.asarray([self.cam.fx, self.cam.fy, self.cam.cx,
+                               self.cam.cy], jnp.float32)
+        uv, idn, ok = _project_active_to_newest(
+            self.state, cam_vec, slot, height=self.cam.height,
+            width=self.cam.width)
         caps = tuple(min(8192 >> l, max(1,
                      (self.cam.height >> l) * (self.cam.width >> l)))
                      for l in range(self.cfg.coarse.pyr_levels))
@@ -568,22 +693,13 @@ class WindowManager:
         cams = [Pinhole(self.cam.fx, self.cam.fy, self.cam.cx, self.cam.cy,
                         self.cam.width, self.cam.height).pyramid_level(l)
                 for l in range(self.cfg.coarse.pyr_levels)]
-        st = self.state
-        slot = self.newest_slot
-        T = st.current_poses()
-        T_kf = SE3(T.R[slot], T.t[slot])
-        ref_to_new = pose_init.compose(T_kf.inverse())
-        aff_kf = st.current_aff()[slot]
-        res = _track_coarse_compiled(
-            self.coarse_templates, pyr, cams, ref_to_new,
-            jnp.asarray(aff_init, jnp.float32),
-            (st.exposure[slot], jnp.asarray(exposure, jnp.float32)), aff_kf,
-            jnp.full((self.cfg.coarse.pyr_levels,), 1e9, jnp.float32),
+        return _track_frame_compiled(
+            self.state, self.newest_slot, self.coarse_templates, pyr, cams,
+            pose_init, jnp.asarray(aff_init, jnp.float32),
+            jnp.asarray(exposure, jnp.float32),
             max_iterations=tuple(self.cfg.coarse.max_iterations),
             huber_th=self.cfg.coarse.huber_th,
             cutoff_th=self.cfg.coarse.coarse_cutoff_th)
-        T_wc = res.pose.compose(T_kf)
-        return res, T_wc
 
     def need_new_kf(self, track_res) -> bool:
         """DSO keyframe decision from flow indicators + affine change

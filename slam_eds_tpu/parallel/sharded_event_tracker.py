@@ -37,8 +37,11 @@ AXIS = "points"
 
 def _residuals_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
                        norm_coord, grad, idp, weights, mask,
-                       norm_eps: float = 1e-3):
-    """Per-shard residual block with a psum-global model norm."""
+                       norm_eps: float = 1e-3, norm_event: bool = False):
+    """Per-shard residual block with a psum-global model norm.
+    norm_event selects the PhotometricErrorNC cost (the sampled event
+    values are normalized by their own psum-global l2 norm,
+    src/tracking/PhotometricErrorNC.hpp:151-186)."""
     flow = et.compute_flow(norm_coord, state.vx, idp)
     model = -(grad[:, 0] * flow[:, 0] + grad[:, 1] * flow[:, 1])
     model = jnp.where(mask, model, 0.0)
@@ -52,6 +55,10 @@ def _residuals_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
     xp = cam.fx * (p[:, 0] / p[:, 2]) + cam.cx
     yp = cam.fy * (p[:, 1] / p[:, 2]) + cam.cy
     ev = bicubic(event_frame, xp, yp)
+    if norm_event:
+        ev = jnp.where(mask, ev, 0.0)
+        e2 = jax.lax.psum(jnp.sum(ev * ev), AXIS)
+        ev = ev / jnp.sqrt(norm_eps + e2)
     r = weights * (model / model_norm - ev)
     return jnp.where(mask, r, 0.0)
 
@@ -68,7 +75,8 @@ def optimize_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
                      norm_coord, grad, idp, weights, mask, mesh: Mesh,
                      max_iterations: int = 20, loss_kind: str = "huber",
                      loss_scale: float = 0.2,
-                     function_tolerance: float = 1e-6) -> et.TrackerResult:
+                     function_tolerance: float = 1e-6,
+                     norm_event: bool = False) -> et.TrackerResult:
     """Distributed Tracker::optimize — point arrays sharded over ``mesh``,
     LM control replicated. Matches ops.event_tracker.optimize numerically
     (up to reduction order)."""
@@ -86,7 +94,8 @@ def optimize_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
 
         def res_of(delta, st):
             return _residuals_sharded(et._apply_local(st, delta), ef, cam,
-                                      nc, gr, ip, w_pt, mk)
+                                      nc, gr, ip, w_pt, mk,
+                                      norm_event=norm_event)
 
         def robust_w(r):
             if loss_kind == "huber":
@@ -104,7 +113,8 @@ def optimize_sharded(state: et.TrackerState, event_frame, cam: Pinhole,
             # analytic residual+Jacobian with the two norm couplings
             # psum-reduced inside (event_residuals_and_jac axis_name path)
             r, J = et.event_residuals_and_jac(c.state, ef, cam, nc, gr, ip,
-                                              w_pt, mk, axis_name=AXIS)
+                                              w_pt, mk, axis_name=AXIS,
+                                              norm_event=norm_event)
             w = jax.lax.stop_gradient(robust_w(r)) * mk
             H = jax.lax.psum((J * w[:, None]).T @ J, AXIS)
             g = jax.lax.psum((J * w[:, None]).T @ r, AXIS)

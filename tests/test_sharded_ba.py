@@ -56,3 +56,69 @@ def test_sharded_marginalization_consistent(rng):
     np.testing.assert_allclose(np.asarray(sh.bM), np.asarray(ref.bM),
                                atol=1e-2, rtol=1e-3)
     assert int((np.asarray(sh.p_status) == bs.PT_MARGINALIZE).sum()) == 0
+
+
+def test_sharded_window_lifecycle_matches_single_device(rng):
+    """VERDICT r3 item 4: compose the full window lifecycle under sharding
+    over several keyframe cycles — insert -> BA -> point-marginalization ->
+    frame-marginalization — and require the marginalization prior (HM/bM),
+    poses, and surviving idepths to match the single-device path after the
+    SEQUENCE (reference invariant: EnergyFunctional.cpp:498-676 order)."""
+    from slam_eds_tpu.utils.lie import SE3
+
+    state, imgs, _ = build_scene(rng, F=4, P=64)
+    mesh = sharded_ba.make_mesh()
+
+    def run(path_state, sharded):
+        st = path_state
+        if sharded:
+            st = sharded_ba.shard_state(st, mesh)
+        for cycle in range(3):
+            # BA
+            if sharded:
+                st, _ = sharded_ba.ba_iterate_sharded(st, imgs, mesh, H, W,
+                                                      iterations=2)
+            else:
+                st, _, _ = energy.ba_iterate(st, imgs, H, W, iterations=2)
+            # flag every 3rd active point of the oldest frame for
+            # marginalization (host policy is identical for both paths)
+            stat = np.asarray(st.p_status).copy()
+            hosts = np.asarray(st.p_host)
+            act = np.where((stat == bs.PT_ACTIVE) & (hosts == cycle))[0]
+            stat[act[::3]] = bs.PT_MARGINALIZE
+            st = st._replace(p_status=jnp.asarray(stat))
+            if sharded:
+                st = sharded_ba.marginalize_points_sharded(st, imgs, mesh,
+                                                           H, W)
+            else:
+                lin = energy.linearize(st, imgs, H, W)
+                st = energy.marginalize_points(st, lin)
+            # frame marginalization of the oldest slot (replicated math —
+            # the same jitted program runs on sharded inputs, XLA
+            # propagates the point-axis sharding through r_active)
+            st = jax.jit(energy.marginalize_frame,
+                         static_argnames=("slot",))(st, slot=cycle)
+        return st
+
+    ref = run(state, sharded=False)
+    sh = run(state, sharded=True)
+
+    # f32 reduction-order differences compound over 3 BA+marg cycles on
+    # near-gauge directions; the meaningful consistency metric is the
+    # norm-relative drift of each quantity (entrywise comparison of ~1e-4
+    # entries inside a 1e7-scale prior matrix is noise)
+    def rel_fro(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+
+    assert rel_fro(sh.HM, ref.HM) < 1e-4, rel_fro(sh.HM, ref.HM)
+    assert rel_fro(sh.bM, ref.bM) < 2e-2, rel_fro(sh.bM, ref.bM)
+    assert rel_fro(sh.delta, ref.delta) < 5e-2, rel_fro(sh.delta, ref.delta)
+    act = np.asarray(ref.p_status) == bs.PT_ACTIVE
+    np.testing.assert_allclose(np.asarray(sh.p_idepth)[act],
+                               np.asarray(ref.p_idepth)[act], atol=1e-3)
+    # identical point-status evolution and the same surviving frames
+    np.testing.assert_array_equal(np.asarray(sh.p_status),
+                                  np.asarray(ref.p_status))
+    np.testing.assert_array_equal(np.asarray(sh.frame_valid),
+                                  np.asarray(ref.frame_valid))
