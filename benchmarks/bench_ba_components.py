@@ -45,7 +45,7 @@ def main():
     spec.loader.exec_module(bm)
     from slam_eds_tpu.ops import energy
 
-    state, images, H, W = bm.build_problem()
+    state, images, H, W = bm.build_ba_problem()
 
     lin_j = jax.jit(lambda st, im: energy.linearize(st, im, H, W))
     lin = lin_j(state, images)

@@ -97,7 +97,14 @@ class BundlesConfig:
     affine_opt_mode_b: float = 1e8      # setting_affineOptModeB
     # solver behavior (setting_solverMode = FIX_LAMBDA | ORTHOGONALIZE_X_LATER)
     fix_lambda: float = 1e-5
-    orthogonalize_x_from_it: int = 2
+    # 0 = project every GN step off the gauge nullspace (absolute pose +
+    # scale). The reference's ORTHOGONALIZE_X_LATER starts at iteration 2;
+    # with a young window (little marginalization prior) the first
+    # unprojected iterations can slide arbitrarily far along the scale
+    # direction (observed: a 3x scale jump in one keyframe BA on a
+    # 3-frame window, which then mass-kills immature trace intervals) —
+    # projecting from the start pins the bootstrap gauge at no cost
+    orthogonalize_x_from_it: int = 0
     solver_mode_delta: float = 1e-5
     force_accept_step: bool = True      # setting_forceAceptStep
     # affine scaling (src/tracking/HessianBlocks.h:58-74)
@@ -141,6 +148,9 @@ class CoarseTrackerConfig:
     cutoff_repeat_saturated: float = 0.6
     cutoff_repeat_max: float = 50.0
     re_track_threshold: float = 1.5     # setting_reTrackThreshold
+    # consecutive lost frames before the pipeline discards the window and
+    # re-bootstraps (setting_fullResetRequested analog, settings.h:170)
+    full_reset_lost_frames: int = 6
 
 
 @dataclass(frozen=True)
@@ -202,6 +212,11 @@ class InitializerConfig:
     snapped_threshold: int = 5
     densities: Tuple[float, ...] = (0.03, 0.05, 0.15, 0.5, 1.0)
     num_neighbors: int = 10
+    # eight-point bootstrap: median KLT displacement (px) required before
+    # an essential-matrix fit is attempted (the parallax analog of the
+    # pyramid initializer's 'snapped' gate) — sub-pixel flow fits are
+    # noise and their unit-baseline scale poisons the whole map
+    min_bootstrap_parallax_px: float = 2.0
 
 
 @dataclass(frozen=True)

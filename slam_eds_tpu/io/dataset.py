@@ -67,7 +67,13 @@ class SyntheticSequence:
                + 0.5 * np.cos(xs * 0.23) * np.sin(ys * 0.19)
                + 0.15 * rng.standard_normal((512, 512)))
         tex = (tex - tex.min()) / (tex.max() - tex.min()) * 220.0 + 20.0
-        self.tex = jnp.asarray(tex, jnp.float32)
+        # wrap-pad one row/col so sampling with modulo coordinates
+        # interpolates across the seam: the world surface is then textured
+        # everywhere a long trajectory can look (a clamped border would be
+        # gradient-free and starve the trackers — observed in burn-in runs)
+        self.tex = jnp.asarray(np.pad(tex, ((0, 1), (0, 1)), mode="wrap"),
+                               jnp.float32)
+        self._tex_size = 512.0
 
         # smooth trajectory: sum of low-frequency sinusoids in the tangent
         t = np.linspace(0, 1, num_frames)
@@ -113,8 +119,8 @@ class SyntheticSequence:
             Xw = T_cw.t[None, :] + dirs * lam[:, None]
             lam = (self._surface_z(Xw[:, 0], Xw[:, 1]) - T_cw.t[2]) / dirs[:, 2]
         Xw = T_cw.t[None, :] + dirs * lam[:, None]
-        u = Xw[:, 0] * 110.0 + 256.0
-        v = Xw[:, 1] * 110.0 + 256.0
+        u = (Xw[:, 0] * 110.0 + 256.0) % self._tex_size
+        v = (Xw[:, 1] * 110.0 + 256.0) % self._tex_size
         img = bilinear(self.tex, u, v).reshape(H, W)
         depth = (lam * dirs[:, 2]).reshape(H, W)   # camera-frame z
         return img, depth

@@ -216,6 +216,57 @@ class FrameOnlyPipeline:
         self._motion = SE3.identity()   # last frame-to-frame relative motion
         self._frames_since_kf = 0
         self._lost = False              # explicit lost state (DSO isLost)
+        self._lost_frames = 0           # consecutive lost frames
+        self._resets = 0                # full-reset generation counter
+        self._world_anchor = SE3.identity()  # segment start (worldToCam)
+
+    # ------------------------------------------------------------------
+    def _full_reset(self):
+        """Full visual reset (the reference's setting_fullResetRequested,
+        src/utils/settings.h:170): after a persistent tracking loss the
+        window/map is discarded and the pipeline re-bootstraps from the
+        next frames. The new segment is anchored at the last held pose so
+        the exported trajectory stays continuous (a relocalized system
+        cannot recover the drift accumulated during the outage; it can
+        avoid teleporting to the origin)."""
+        self._world_anchor = self._last_pose
+        self.window = WindowManager(self.cam, self.cfg)
+        self._boot_img = None
+        self._boot_time = None
+        self._init_state = None
+        self._initialized = False
+        self._lost = False
+        self._lost_frames = 0
+        self._motion = SE3.identity()
+        self._frames_since_kf = 0
+        self._resets += 1
+        self.telemetry.counters["full_resets"] = \
+            self.telemetry.counters.get("full_resets", 0) + 1
+
+    def _record_boot(self, pairs):
+        """Record bootstrap (time, worldToCam) entries. The first bootstrap
+        replaces the pending placeholders (original semantics, keeps the
+        ATE associator's timestamp bookkeeping); post-reset bootstraps
+        append so the pre-outage trajectory is preserved."""
+        if self._resets == 0:
+            self.poses, self.trajectory, self.times = [], [], []
+        for tt, TT in pairs:
+            if self._resets > 0 and self.times and tt <= self.times[-1]:
+                continue      # anchor frame already recorded as held pose
+            self.poses.append(TT)
+            self.trajectory.append(np.asarray(TT.inverse().t))
+            self.times.append(tt)
+
+    def _record_pending(self, time: float):
+        """Bookkeeping for frames consumed while waiting for a bootstrap."""
+        if self._resets == 0:
+            self.poses = self.poses or [SE3.identity()]
+            self.trajectory = self.trajectory or [np.zeros(3)]
+            self.times = [time]
+        else:
+            self.poses.append(self._last_pose)
+            self.trajectory.append(np.asarray(self._last_pose.inverse().t))
+            self.times.append(time)
 
     # ------------------------------------------------------------------
     def _bootstrap(self, img0, t0, img1, t1) -> bool:
@@ -231,6 +282,19 @@ class FrameOnlyPipeline:
         uv1, ok, _ = klt.klt_track_pyramid(pyr0, pyr1, uv0)
         m = mask & ok
 
+        # parallax gate (the eight-point analog of the DSO initializer's
+        # 'snapped' criterion, CoarseInitializer.cpp:204-261): an
+        # essential matrix fit to sub-pixel flow is pure noise and its
+        # recovered unit baseline seeds a garbage scale that the window
+        # never recovers from (observed: idepth medians drifting 0.9->7
+        # before total map collapse on a slow sequence). Keep waiting
+        # until the median tracked displacement carries real parallax.
+        disp = jnp.linalg.norm(uv1 - uv0, axis=-1)
+        from ..utils.stats import masked_median
+        med_disp = float(masked_median(disp, m))
+        if med_disp < self.cfg.initializer.min_bootstrap_parallax_px:
+            return "wait"     # hold the anchor; parallax will accumulate
+
         nc0 = jnp.stack([(uv0[:, 0] - self.cam.cx) / self.cam.fx,
                          (uv0[:, 1] - self.cam.cy) / self.cam.fy], -1)
         nc1 = jnp.stack([(uv1[:, 0] - self.cam.cx) / self.cam.fx,
@@ -239,23 +303,22 @@ class FrameOnlyPipeline:
         if not bool(res.success):
             return False
 
-        # seed: frame 0 at identity, frame 1 at recovered unit-baseline pose
+        # seed: frame 0 at the segment anchor (identity for the first
+        # segment), frame 1 at the recovered unit-baseline pose
         seed_uv = uv0
         seed_idp = res.idepth
         seed_mask = res.inliers
-        self.window.insert_frame(img0, SE3.identity(), t0, is_first=True,
+        anchor = self._world_anchor
+        T1 = res.T_21.compose(anchor)
+        self.window.insert_frame(img0, anchor, t0, is_first=True,
                                  immature_seed=(seed_uv, seed_idp, seed_mask))
-        self.window.insert_frame(img1, res.T_21, t1,
-                                 immature_seed=None)
+        self.window.insert_frame(img1, T1, t1, immature_seed=None)
         self.window.trace_all(self.window.newest_slot)
         self.window.activate_points()
         self.window.optimize()
         self.window.rebuild_coarse_template()
-        self._last_pose = res.T_21
-        self.poses = [SE3.identity(), res.T_21]
-        self.trajectory = [np.zeros(3),
-                           np.asarray(res.T_21.inverse().t)]
-        self.times = [t0, t1]
+        self._last_pose = T1
+        self._record_boot([(t0, anchor), (t1, T1)])
         self._initialized = True
         return True
 
@@ -279,18 +342,18 @@ class FrameOnlyPipeline:
         if not done:
             return False
         T_10, uv0, idp0, okm = ci.extract_result(self._init_state)
-        self.window.insert_frame(self._boot_img, SE3.identity(),
+        anchor = self._world_anchor
+        T1 = T_10.compose(anchor)
+        self.window.insert_frame(self._boot_img, anchor,
                                  self._boot_time, is_first=True,
                                  immature_seed=(uv0, idp0, okm))
-        self.window.insert_frame(img, T_10, time, immature_seed=None)
+        self.window.insert_frame(img, T1, time, immature_seed=None)
         self.window.trace_all(self.window.newest_slot)
         self.window.activate_points()
         self.window.optimize()
         self.window.rebuild_coarse_template()
-        self._last_pose = T_10
-        self.poses = [SE3.identity(), T_10]
-        self.trajectory = [np.zeros(3), np.asarray(T_10.inverse().t)]
-        self.times = [self._boot_time, time]
+        self._last_pose = T1
+        self._record_boot([(self._boot_time, anchor), (time, T1)])
         self._initialized = True
         return True
 
@@ -316,7 +379,8 @@ class FrameOnlyPipeline:
             z = d[vi, ui]
             mask = mask & jnp.isfinite(z) & (z > 1e-3)
             idp = 1.0 / jnp.maximum(z, 1e-3)
-        slot = self.window.insert_frame(img, SE3.identity(), time,
+        anchor = self._world_anchor
+        slot = self.window.insert_frame(img, anchor, time,
                                         is_first=True,
                                         immature_seed=(uv, idp, mask))
         n = self.window.activate_seed_points(
@@ -324,10 +388,8 @@ class FrameOnlyPipeline:
         if n < 16:
             return False
         self.window.rebuild_coarse_template()
-        self._last_pose = SE3.identity()
-        self.poses = [SE3.identity()]
-        self.trajectory = [np.zeros(3)]
-        self.times = [time]
+        self._last_pose = anchor
+        self._record_boot([(time, anchor)])
         self._initialized = True
         return True
 
@@ -339,38 +401,45 @@ class FrameOnlyPipeline:
         dense [H, W] metric depth or a sparse (uv [N,2], idepth [N],
         mask [N]) tuple."""
         if not self._initialized:
+            held = self._world_anchor     # identity for the first segment
             if self.cfg.tracker.bootstrap == "midas":
                 if depth_map is not None and \
                         self._bootstrap_depthmap(img, time, depth_map):
                     return self._last_pose
-                # no depth yet: hold at identity until one arrives
-                self.poses = self.poses or [SE3.identity()]
-                self.trajectory = self.trajectory or [np.zeros(3)]
-                self.times = [time]
-                return SE3.identity()
+                # no depth yet: hold at the anchor until one arrives
+                self._record_pending(time)
+                return held
             if self.cfg.tracker.bootstrap == "dso":
                 ok = self._bootstrap_dso(img, time)
                 if not ok:
-                    self.poses = self.poses or [SE3.identity()]
-                    self.trajectory = self.trajectory or [np.zeros(3)]
-                    self.times = self.times or [time]
-                    return SE3.identity()
+                    self._record_pending(time)
+                    return held
                 return self._last_pose
             if self._boot_img is None:
                 self._boot_img = img
                 self._boot_time = time
-                self.poses = [SE3.identity()]
-                self.trajectory = [np.zeros(3)]
-                self.times = [time]
-                return SE3.identity()
+                self._record_pending(time)
+                return held
             ok = self._bootstrap(self._boot_img, self._boot_time, img, time)
+            if ok == "wait":
+                # low parallax: HOLD the anchor so baseline accumulates
+                # (sliding it would keep the pair one frame apart forever
+                # on a slow sequence)
+                if self._resets == 0:
+                    self.times = [time]
+                else:
+                    self._record_pending(time)
+                return held
             if not ok:
-                # keep waiting with the newest frame as bootstrap anchor;
-                # the held identity pose now refers to this frame's time
+                # estimation failed on this pair: re-anchor at the newest
+                # frame; the held pose now refers to this frame's time
                 self._boot_img = img
                 self._boot_time = time
-                self.times = [time]
-                return SE3.identity()
+                if self._resets == 0:
+                    self.times = [time]
+                else:
+                    self._record_pending(time)
+                return held
             return self._last_pose
 
         # DSO-style motion-hypothesis try-list (FullSystem::trackNewFrame):
@@ -384,6 +453,16 @@ class FrameOnlyPipeline:
         preds = [self._last_pose,
                  self._motion.compose(self._last_pose),
                  half.compose(self._last_pose)]
+        if self._lost:
+            # relocalization hypothesis (DSO's try-list widens with
+            # re-lock attempts once tracking is lost): the constant-
+            # velocity hold drifts during an outage, so also try tracking
+            # from the newest keyframe's own pose — the map is still good
+            # even when the prediction is not
+            w = self.window
+            T = w.state.current_poses()
+            s = w.newest_slot
+            preds.append(SE3(T.R[s], T.t[s]))
         res = T_wc = None
         for pred in preds:
             res, T_wc = self.window.track_frame(img, pred)
@@ -392,6 +471,7 @@ class FrameOnlyPipeline:
         if bool(res.ok):
             self._motion = T_wc.compose(self._last_pose.inverse())
             self._lost = False
+            self._lost_frames = 0
         else:
             # constant-velocity hold: advance by the PREVIOUS motion and keep
             # _motion itself unchanged so the hypothesis ladder stays spread
@@ -399,6 +479,7 @@ class FrameOnlyPipeline:
             # to zero motion; reference DSO sets isLost and stops mapping)
             T_wc = self._motion.compose(self._last_pose)
             self._lost = True
+            self._lost_frames += 1
             self.telemetry.counters["track_lost"] = \
                 self.telemetry.counters.get("track_lost", 0) + 1
         self.telemetry.frame(ok=bool(res.ok))
@@ -417,6 +498,11 @@ class FrameOnlyPipeline:
         if make_kf:
             self._add_keyframe(img, T_wc, time, res)
             self._frames_since_kf = 0
+        elif self._lost and self._lost_frames \
+                >= self.cfg.coarse.full_reset_lost_frames:
+            # persistent loss: discard the window and re-bootstrap
+            # (setting_fullResetRequested analog; see _full_reset)
+            self._full_reset()
         return T_wc
 
     def _add_keyframe(self, img, T_wc: SE3, time: float, track_res):
@@ -463,6 +549,7 @@ class EDSPipeline:
         self.event_pose_list: List[SE3] = []
         self.telemetry = Telemetry()
         self._pending_kf = False
+        self._seen_resets = 0
         self.num_event_kfs = 0
         self.recorder = None
         if self.cfg.recorder.enabled:
@@ -472,6 +559,15 @@ class EDSPipeline:
     # ------------------------------------------------------------------
     def process_frame(self, img, time: float, depth_map=None):
         T_wc = self.frame_pipe.process_frame(img, time, depth_map=depth_map)
+        if self.frame_pipe._resets != self._seen_resets:
+            # the frame backend performed a full reset: the event keyframe
+            # and its depth filter refer to the discarded map
+            self._seen_resets = self.frame_pipe._resets
+            self.kf = None
+            self.depth = None
+            self.tracker_state = et.initial_tracker_state()
+            self.pose_filter = et.pose_filter_init(
+                self.cfg.tracker.pose_filter_window)
         if self.frame_pipe._initialized and (self.kf is None
                                              or self._pending_kf):
             self._make_event_keyframe(img, time, T_wc)

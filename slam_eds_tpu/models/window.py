@@ -125,12 +125,34 @@ def _activate_commit_compiled(state, images, dst, host, uv, idp, *,
                               outlier_th: float):
     """Batched point-activation commit: sample pattern colors/weights from
     each new point's host image and scatter all per-point arrays in one
-    program. ``dst`` rows >= P are padding and are dropped."""
-    from ..utils.interp import bilinear_3
+    program. ``dst`` rows >= P are padding and are dropped.
+
+    The host-image sample is a flat gather indexed by (host, y, x) — a
+    per-point ``images[host]`` under vmap would materialize an [M, H, W, 3]
+    copy of the window images (322 GB padded at the 640x480 operating
+    point; the XLA allocation failure that killed the first e2e bench)."""
     offs = jnp.asarray(image_ops.PATTERN_DSO8, jnp.float32)
-    hit = jax.vmap(
-        lambda h, uv1: bilinear_3(images[h], uv1[0] + offs[:, 0],
-                                  uv1[1] + offs[:, 1]))(host, uv)  # [M,8,3]
+    F_, H_, W_, C_ = images.shape
+    x = uv[:, 0:1] + offs[None, :, 0]                 # [M, 8]
+    y = uv[:, 1:2] + offs[None, :, 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx_ = x - x0
+    fy_ = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = images.reshape(-1, C_)
+
+    def gat(xi, yi):
+        xi = jnp.clip(xi, 0, W_ - 1)
+        yi = jnp.clip(yi, 0, H_ - 1)
+        idx = (host[:, None] * H_ + yi) * W_ + xi
+        return flat[idx]                              # [M, 8, 3]
+
+    hit = (gat(x0i, y0i) * ((1 - fx_) * (1 - fy_))[..., None]
+           + gat(x0i + 1, y0i) * (fx_ * (1 - fy_))[..., None]
+           + gat(x0i, y0i + 1) * ((1 - fx_) * fy_)[..., None]
+           + gat(x0i + 1, y0i + 1) * (fx_ * fy_)[..., None])  # [M,8,3]
     colors = hit[..., 0]
     g2 = jnp.sum(hit[..., 1:3] ** 2, -1)
     w = jnp.sqrt(outlier_th / (outlier_th + g2))
