@@ -138,13 +138,23 @@ def bench_e2e(num_frames: int = 24, budget_s: float = 2400.0):
     W, H = 640, 480
     cam = Pinhole(jnp.float32(400.0), jnp.float32(400.0),
                   jnp.float32(W / 2 - 0.5), jnp.float32(H / 2 - 0.5), W, H)
+    # 64k-event packets: a 640x480 sensor produces ~0.5M events per
+    # inter-frame interval here; 16k packets were a 3% subsample whose
+    # event frames were too sparse for reliable alignment
+    cap = 65536
     seq = SyntheticSequence(cam, num_frames=num_frames,
-                            events_per_packet=16384, motion_scale=0.22,
+                            events_per_packet=cap, motion_scale=0.22,
                             micro_steps=2)
     frames = [seq.frame(k) for k in range(num_frames)]
     packets = [seq.events_between(k, k + 1) for k in range(num_frames - 1)]
 
+    import dataclasses
     cfg = EDSConfig()      # defaults ARE the reference operating point
+    cfg = dataclasses.replace(
+        cfg,
+        caps=dataclasses.replace(cfg.caps, max_events=cap),
+        event_frame=dataclasses.replace(cfg.event_frame,
+                                        events_per_frame=cap))
     pipe = EDSPipeline(cam, cfg)
 
     # warmup pass: first frames compile every program in the loop

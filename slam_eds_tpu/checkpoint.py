@@ -180,8 +180,13 @@ def save_pipeline(path: str, pipe) -> str:
         },
         "frame_pipe": {
             "last_pose": _to_numpy(fp._last_pose),
+            "last_good_pose": _to_numpy(fp._last_good_pose),
             "motion": _to_numpy(fp._motion),
             "frames_since_kf": fp._frames_since_kf,
+            "lost": fp._lost,
+            "lost_frames": fp._lost_frames,
+            "resets": fp._resets,
+            "world_anchor": _to_numpy(fp._world_anchor),
             "trajectory": [np.asarray(t) for t in fp.trajectory],
             "poses": [_to_numpy(p) for p in fp.poses],
             "times": [float(t) for t in fp.times],
@@ -252,6 +257,15 @@ def restore_pipeline(path: str, cam, cfg=None):
     fp._last_pose = SE3(*map(jnp.asarray, dfp["last_pose"]))
     fp._motion = SE3(*map(jnp.asarray, dfp["motion"]))
     fp._frames_since_kf = dfp["frames_since_kf"]
+    # recovery-ladder state (older snapshots lack these; defaults apply)
+    if "last_good_pose" in dfp:
+        fp._last_good_pose = SE3(*map(jnp.asarray, dfp["last_good_pose"]))
+        fp._lost = bool(dfp["lost"])
+        fp._lost_frames = int(dfp["lost_frames"])
+        fp._resets = int(dfp["resets"])
+        fp._world_anchor = SE3(*map(jnp.asarray, dfp["world_anchor"]))
+        if d["is_eds"]:
+            pipe._seen_resets = fp._resets
     fp.trajectory = [np.asarray(t) for t in dfp["trajectory"]]
     fp.poses = [SE3(*map(jnp.asarray, p)) for p in dfp["poses"]]
     fp.times = [float(t) for t in dfp.get("times", [])]

@@ -59,7 +59,7 @@ class EventTrackerConfig:
     # fraction of the keyframe's median scene depth (the monocular scale is
     # arbitrary — same parallax ratio the occlusion KF-criterion uses,
     # src/utils/Utils.hpp:292-299). Rotation is absolute (radians).
-    max_step_translation: float = 0.5
+    max_step_translation: float = 0.25
     max_step_rotation: float = 0.5
     # track refinement against the event frame before the depth-filter
     # update (Tracker::trackPoints / trackPointsPyr /
@@ -217,6 +217,11 @@ class InitializerConfig:
     # pyramid initializer's 'snapped' gate) — sub-pixel flow fits are
     # noise and their unit-baseline scale poisons the whole map
     min_bootstrap_parallax_px: float = 2.0
+    # minimum essential-matrix inliers for a usable two-view bootstrap.
+    # The reference accepts >12 (KeyFrame.cpp:930-934); a map seeded from
+    # a dozen points collapses on the first marginalization, so the
+    # default here is stricter
+    min_inliers: int = 32
 
 
 @dataclass(frozen=True)

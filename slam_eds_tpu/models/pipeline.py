@@ -88,7 +88,12 @@ def _event_packet_fused(tracker_state, pose_filter, depth, cam,
         fwd_maps=fwd_maps, use_time_weights=use_time_weights,
         blur_ksize=blur_ksize, interpolation=interpolation)
     prev = tracker_state
-    med_depth = masked_median(1.0 / jnp.maximum(kf_idp, 1e-6), kf_mask)
+    # clamp to the configured scene range: during a divergence episode the
+    # keyframe's depth estimates can explode, and an unbounded med_depth
+    # voids the translation gate exactly when it is needed
+    med_depth = jnp.clip(
+        masked_median(1.0 / jnp.maximum(kf_idp, 1e-6), kf_mask),
+        lim["min_depth"], lim["max_depth"])
 
     def solve_from(st0):
         return et._pyramid_fused(st0, ef.frames, cam, kf_nc, kf_grad,
@@ -213,6 +218,7 @@ class FrameOnlyPipeline:
         self._init_state = None      # DSO-style CoarseInitializer state
         self._initialized = False
         self._last_pose = SE3.identity()
+        self._last_good_pose = SE3.identity()  # last OK-tracked pose
         self._motion = SE3.identity()   # last frame-to-frame relative motion
         self._frames_since_kf = 0
         self._lost = False              # explicit lost state (DSO isLost)
@@ -228,8 +234,15 @@ class FrameOnlyPipeline:
         next frames. The new segment is anchored at the last held pose so
         the exported trajectory stays continuous (a relocalized system
         cannot recover the drift accumulated during the outage; it can
-        avoid teleporting to the origin)."""
-        self._world_anchor = self._last_pose
+        avoid teleporting to the origin). The anchor is the last pose an
+        OK track produced — the constant-velocity hold can run away to
+        absurd magnitudes during a long outage, and a non-finite anchor
+        would poison every post-reset pose."""
+        anchor = self._last_good_pose
+        if not np.isfinite(np.asarray(anchor.t)).all() or \
+                float(jnp.linalg.norm(anchor.t)) > 1e6:
+            anchor = SE3.identity()
+        self._world_anchor = anchor
         self.window = WindowManager(self.cam, self.cfg)
         self._boot_img = None
         self._boot_time = None
@@ -302,6 +315,8 @@ class FrameOnlyPipeline:
         res = initializer.bootstrap_eight_point(nc0, nc1, m)
         if not bool(res.success):
             return False
+        if int(jnp.sum(res.inliers)) < self.cfg.initializer.min_inliers:
+            return False
 
         # seed: frame 0 at the segment anchor (identity for the first
         # segment), frame 1 at the recovered unit-baseline pose
@@ -314,7 +329,13 @@ class FrameOnlyPipeline:
                                  immature_seed=(seed_uv, seed_idp, seed_mask))
         self.window.insert_frame(img1, T1, t1, immature_seed=None)
         self.window.trace_all(self.window.newest_slot)
-        self.window.activate_points()
+        n_act = self.window.activate_points()
+        if n_act < 16:
+            # degenerate structure (inliers passed but almost nothing
+            # traced/activated): a 5-point map collapses immediately —
+            # discard the window and keep waiting for a better pair
+            self.window = WindowManager(self.cam, self.cfg)
+            return False
         self.window.optimize()
         self.window.rebuild_coarse_template()
         self._last_pose = T1
@@ -472,12 +493,15 @@ class FrameOnlyPipeline:
             self._motion = T_wc.compose(self._last_pose.inverse())
             self._lost = False
             self._lost_frames = 0
+            self._last_good_pose = T_wc
         else:
-            # constant-velocity hold: advance by the PREVIOUS motion and keep
-            # _motion itself unchanged so the hypothesis ladder stays spread
-            # on the next frame (resetting it collapses all three predictions
-            # to zero motion; reference DSO sets isLost and stops mapping)
-            T_wc = self._motion.compose(self._last_pose)
+            # pure hold while lost (reference DSO sets isLost and stops
+            # publishing). Advancing by _motion compounded: one spurious
+            # accept makes |t_motion| ~ |t_last| and the held pose then
+            # doubles every frame (observed exponential runaway to 1e3+
+            # before the reset fired). The hypothesis ladder still spreads
+            # through _motion; the published pose stays put.
+            T_wc = self._last_pose
             self._lost = True
             self._lost_frames += 1
             self.telemetry.counters["track_lost"] = \
@@ -676,6 +700,8 @@ class EDSPipeline:
         lim = {
             "mu_range": jnp.float32(cfg.mapping.max_depth
                                     - cfg.mapping.min_depth),
+            "min_depth": jnp.float32(cfg.mapping.min_depth),
+            "max_depth": jnp.float32(cfg.mapping.max_depth),
             "px_noise": jnp.float32(cfg.mapping.px_noise),
             "max_step_t": jnp.float32(cfg.tracker.max_step_translation),
             "max_step_r": jnp.float32(cfg.tracker.max_step_rotation),
@@ -751,8 +777,12 @@ class EDSPipeline:
                               idepth=depth.mu)
 
         # the event tracker is the between-frame tracker of the system:
-        # seed the frame front-end's next coarse track from its pose
-        if self.cfg.tracker.seed_frame_tracker:
+        # seed the frame front-end's next coarse track from its pose.
+        # NOT while the frame tracker is lost: its event keyframe then
+        # references an unverified pose, and gate-sized event steps
+        # compounding into _last_pose were observed to walk the held pose
+        # away faster than the full-reset ladder could catch it
+        if self.cfg.tracker.seed_frame_tracker and not self.frame_pipe._lost:
             self.frame_pipe._last_pose = T_w_ef.inverse()
 
         # KF-need from flow magnitude / point loss (Tracker::needNewKeyframe

@@ -174,6 +174,20 @@ def _activate_commit_compiled(state, images, dst, host, uv, idp, *,
 
 
 @_partial(jax.jit, static_argnames=("height", "width"))
+def _marg_points_compiled(state, images, marg_weight, idepth_fac, huber_th,
+                          *, height, width):
+    """linearize + point-marginalization as ONE program (the eager
+    marginalize_points issued ~40 dispatches per keyframe)."""
+    lin = energy.linearize(state, images, height, width, huber_th=huber_th)
+    return energy.marginalize_points(state, lin, marg_weight=marg_weight,
+                                     idepth_prior_marg_fac=idepth_fac)
+
+
+_marg_frame_compiled = jax.jit(energy.marginalize_frame,
+                               static_argnames=("slot",))
+
+
+@_partial(jax.jit, static_argnames=("height", "width"))
 def _project_active_to_newest(state, cam_vec, newest_slot, *, height,
                               width):
     """Project all active points into the newest KF — the device part of
@@ -421,20 +435,35 @@ class WindowManager:
         pairs_np = self.all_pairs()
         dist_np = np.asarray(self._activation_distance_map(pairs_np))
 
-        slots = [s for s in range(F)
-                 if self.immatures[s] is not None and valid_np[s]]
-        if not slots:
+        live = [s for s in range(F)
+                if self.immatures[s] is not None and valid_np[s]]
+        if not live:
             return 0
-
-        # ONE stacked activation GN over all contributing slots
+        # ONE stacked activation GN, always over ALL F slot lanes (dead
+        # slots ride along fully masked): a per-live-slot-count stack
+        # would recompile the heaviest activation program up to F times
+        # across a sequence
+        slots = list(range(F))
+        filler = self.immatures[live[0]]
+        pts_list, slot_alive = [], []
+        for s in slots:
+            if s in live:
+                pts_list.append(self.immatures[s])
+                slot_alive.append(True)
+            else:
+                pts_list.append(filler._replace(
+                    mask=jnp.zeros_like(filler.mask)))
+                slot_alive.append(False)
         KRKi_np, Kt_np, aff_np = pairs_np
         pts_stack = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs), *[self.immatures[s] for s in slots])
-        tmask_np = np.stack([valid_np & (np.arange(F) != s) for s in slots])
+            lambda *xs: jnp.stack(xs), *pts_list)
+        tmask_np = np.stack([
+            (valid_np & (np.arange(F) != s)) if slot_alive[s]
+            else np.zeros(F, bool) for s in slots])
         idp_all, _ = _activate_idepth_v(
             pts_stack, self.images,
-            jnp.asarray(KRKi_np[slots]), jnp.asarray(Kt_np[slots]),
-            jnp.asarray(aff_np[slots]), jnp.asarray(tmask_np),
+            jnp.asarray(KRKi_np), jnp.asarray(Kt_np),
+            jnp.asarray(aff_np), jnp.asarray(tmask_np),
             gn_iterations=self.cfg.immature.gn_its_on_activation)
         # ONE transfer of everything the host policy reads
         (status_s, quality_s, lo_s, hi_s, mask_s, uv_s, idp_s) = \
@@ -490,12 +519,13 @@ class WindowManager:
             return 0
 
         # ONE batched commit (colors/weights sampled device-side from the
-        # stacked window images; padded to a bucket size so the program
-        # re-compiles only per bucket, not per activation count)
+        # stacked window images). Padded to the FULL point capacity: one
+        # compile total — per-activation-count bucketing re-compiled this
+        # program repeatedly through a keyframe sequence, costing 10-20 s
+        # per new bucket at 640x480 through the tunnel, while the padded
+        # commit's runtime cost (a [P, 8] gather + scatters) is microseconds
         P = st.p_uv.shape[0]
-        bucket = 1
-        while bucket < total:
-            bucket *= 2
+        bucket = P
         pad = bucket - total
         dst_b = np.concatenate(sel_dst + [np.full(pad, P, np.int64)])
         host_b = np.concatenate(sel_host + [np.zeros(pad, np.int32)])
@@ -677,15 +707,15 @@ class WindowManager:
 
         H, W = self.cam.height, self.cam.width
         if (np.asarray(self.state.p_status) == bs.PT_MARGINALIZE).any():
-            lin2 = energy.linearize(self.state, self.images, H, W,
-                                    huber_th=self.cfg.bundles.huber_th)
-            self.state = energy.marginalize_points(
-                self.state, lin2,
-                marg_weight=self.cfg.bundles.marg_weight_fac,
-                idepth_prior_marg_fac=self.cfg.bundles.idepth_fix_prior_marg_fac)
+            self.state = _marg_points_compiled(
+                self.state, self.images,
+                jnp.float32(self.cfg.bundles.marg_weight_fac),
+                jnp.float32(self.cfg.bundles.idepth_fix_prior_marg_fac),
+                jnp.float32(self.cfg.bundles.huber_th),
+                height=H, width=W)
 
         if marg_slot is not None:
-            self.state = energy.marginalize_frame(self.state, marg_slot)
+            self.state = _marg_frame_compiled(self.state, slot=marg_slot)
             self.immatures[marg_slot] = None
             self.frame_ids[marg_slot] = -1
         return marg_slot

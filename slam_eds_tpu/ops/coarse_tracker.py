@@ -337,6 +337,18 @@ def track_level(tpl: LevelTemplate, dI, cam: Pinhole, pose0: SE3, aff0,
                 inc = inc.at[7].set(0.0)
         return inc * S
 
+    # visibility floor: a pose that warps (nearly) every template point
+    # off-frame has a tiny term count, and its mean energy would look
+    # spuriously good (observed: the LM diverging to |t|~1e5 poses that
+    # "win" with 0 visible points — the reference avoids this because
+    # 0/0 = nan rejects, but a small surviving handful still biases).
+    n_tpl = jnp.sum(tpl.mask)
+    n_floor = jnp.maximum(10, (0.2 * n_tpl.astype(jnp.float32))
+                          ).astype(n_tpl.dtype)
+
+    def mean_E(E, n):
+        return jnp.where(n >= n_floor, E / jnp.maximum(n, 1), jnp.inf)
+
     def body(c: _LevelCarry):
         inc = solve_inc(c.H, c.b, c.lam)
         extrap = jnp.where(c.lam < lambda_extrap_limit,
@@ -348,8 +360,8 @@ def track_level(tpl: LevelTemplate, dI, cam: Pinhole, pose0: SE3, aff0,
         aff_new = c.aff + inc[6:8]
         E_new, n_new, _, buf = calc_res(tpl, dI, cam, pose_new,
                                         rel_aff(aff_new), huber_th, cutoff)
-        accept = (E_new / jnp.maximum(n_new, 1)) < (c.res_old[0] /
-                                                    jnp.maximum(c.res_old[1], 1))
+        accept = mean_E(E_new, n_new) \
+            < mean_E(c.res_old[0], c.res_old[1].astype(n_new.dtype))
         H_new, b_new = calc_gs(buf, cam, rel_aff(aff_new), b0_ref)
 
         sel = lambda a, b_: jax.tree_util.tree_map(
@@ -373,9 +385,10 @@ def track_level(tpl: LevelTemplate, dI, cam: Pinhole, pose0: SE3, aff0,
                        jnp.asarray(0), jnp.asarray(False))
     out = jax.lax.while_loop(cond, body, init)
     rms = jnp.sqrt(out.res_old[0] / jnp.maximum(out.res_old[1], 1.0))
-    _, _, sat, _ = calc_res(tpl, dI, cam, out.pose, rel_aff(out.aff),
-                            huber_th, cutoff)
-    return out.pose, out.aff, rms, sat
+    _, n_fin, sat, _ = calc_res(tpl, dI, cam, out.pose, rel_aff(out.aff),
+                                huber_th, cutoff)
+    visible = n_fin >= n_floor
+    return out.pose, out.aff, rms, sat, visible
 
 
 def track_newest_coarse(templates: Sequence[LevelTemplate],
@@ -400,7 +413,7 @@ def track_newest_coarse(templates: Sequence[LevelTemplate],
     per_level_rms = [jnp.asarray(0.0, jnp.float32)] * n_levels
 
     for lvl in range(n_levels - 1, -1, -1):
-        p_new, a_new, rms, _ = track_level(
+        p_new, a_new, rms, _, visible = track_level(
             templates[lvl], target_pyr[lvl], cams[lvl], pose, aff,
             exposures, aff_ref,
             max_iterations=max_iterations[min(lvl, len(max_iterations) - 1)],
@@ -411,7 +424,10 @@ def track_newest_coarse(templates: Sequence[LevelTemplate],
             lambda x, y: jnp.where(keep, x, y), p_new, pose)
         aff = jnp.where(keep, a_new, aff)
         per_level_rms[lvl] = jnp.where(keep, rms, per_level_rms[lvl])
-        ok = ok & (rms <= 1.5 * min_res_for_abort[lvl])
+        # a solve whose final pose sees (almost) no template points is a
+        # failure no matter its residual (all-off-frame poses have
+        # arbitrarily small energies)
+        ok = ok & (rms <= 1.5 * min_res_for_abort[lvl]) & visible
 
     shiftT, shiftR, shiftRT = flow_indicators(templates[0], cams[0], pose)
     # affine sanity (CoarseTracker.cpp:685-698)

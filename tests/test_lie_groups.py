@@ -47,19 +47,31 @@ def test_rxso3_roundtrip():
 
 
 def test_sim3_W_matches_quadrature():
-    """W = integral_0^1 e^{sigma u} exp(u w^) du, checked by fine quadrature."""
+    """W = integral_0^1 e^{sigma u} exp(u w^) du, checked by fine quadrature
+    (pure-numpy Rodrigues — per-step device dispatches made this the
+    slowest test in the suite)."""
+    def rodrigues(w):
+        th = np.linalg.norm(w)
+        if th < 1e-12:
+            return np.eye(3)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                      [-k[1], k[0], 0]])
+        return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
     rng = np.random.default_rng(0)
     for _ in range(8):
-        w = jnp.asarray(rng.normal(size=3), jnp.float32)
-        sigma = jnp.asarray(rng.normal() * 0.5, jnp.float32)
+        w = rng.normal(size=3).astype(np.float32)
+        sigma = np.float32(rng.normal() * 0.5)
         us = np.linspace(0, 1, 4001)
         acc = np.zeros((3, 3))
         for u in us:
-            acc += np.exp(float(sigma) * u) * np.asarray(so3_exp(u * w))
+            acc += np.exp(float(sigma) * u) * rodrigues(u * w)
         acc /= len(us)
         # trapezoid endpoint correction
-        acc -= 0.5 * (np.eye(3) + np.exp(float(sigma)) * np.asarray(so3_exp(w))) / len(us)
-        W = np.asarray(_sim3_W(w, sigma))
+        acc -= 0.5 * (np.eye(3)
+                      + np.exp(float(sigma)) * rodrigues(w)) / len(us)
+        W = np.asarray(_sim3_W(jnp.asarray(w), jnp.asarray(sigma)))
         assert np.allclose(W, acc, atol=2e-3), (W, acc)
 
 

@@ -67,7 +67,11 @@ def test_runner_end_to_end(tmp_path):
         "selector": {"desired_immature_density": 400.0,
                      "desired_point_density": 300.0},
         "event_frame": {"num_levels": 2, "events_per_frame": 8192},
-        "tracker": {"max_iterations": [15, 10]},
+        # frame-rate packets carry whole-interval motion here; the default
+        # per-packet step gate (tuned for sensor-rate packets) would
+        # reject legitimate large steps
+        "tracker": {"max_iterations": [15, 10],
+                    "max_step_translation": 0.5},
     })
     cfg = replace(cfg, recorder=replace(
         cfg.recorder, enabled=True, output_folder=str(tmp_path / "out")))
@@ -111,7 +115,11 @@ def test_runner_dual_rig(tmp_path):
         "selector": {"desired_immature_density": 400.0,
                      "desired_point_density": 300.0},
         "event_frame": {"num_levels": 2, "events_per_frame": 8192},
-        "tracker": {"max_iterations": [15, 10]},
+        # frame-rate packets carry whole-interval motion here; the default
+        # per-packet step gate (tuned for sensor-rate packets) would
+        # reject legitimate large steps
+        "tracker": {"max_iterations": [15, 10],
+                    "max_step_translation": 0.5},
     })
     res = run_sequence(d, cfg, verbose=False)
     assert res["frames"] == 8
