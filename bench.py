@@ -13,9 +13,10 @@ NOTE the container exposes 2 CPU cores; the measured baseline is what the
 reference-class solver achieves on THIS host, reported as such.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-The headline is the production-representative rate (6 GN iterations per
-dispatch, one dispatch per keyframe BA — the r3 advisor's point); the
-amortized 96-iteration rate and the end-to-end pipeline numbers (frames/s,
+The headline is the TRUE production-representative rate: a dependent
+chain of 6-GN-iteration dispatches, wall-clocked through one host
+materialization (see bench_ba's docstring for why undrained timings in
+this environment are fiction). The end-to-end pipeline numbers (frames/s,
 event solves/s, ATE at the reference operating point 640x480 / 2048 pts /
 window 7+1 / 6 iters) ride in "extra".
 """
@@ -95,10 +96,24 @@ def build_ba_problem():
     return state, jnp.asarray(imgs), H, W
 
 
-def bench_ba(iters_per_call: int, reps: int = 9):
-    """Median wall time of ONE dispatch of `iters_per_call` GN iterations.
-    NOTE: images must be a jit *argument*, not a closure constant — XLA's
-    gather emitter is ~200x slower on folded constants (measured r2)."""
+def bench_ba(iters_per_call: int, chain: int = 20):
+    """TRUE keyframe-BA rate: wall time of `chain` DEPENDENT dispatches
+    (each consuming the previous state) ending in one host materialization
+    that forces the whole chain to execute.
+
+    Measurement honesty (round-4 finding): through the axon tunnel,
+    ``jax.block_until_ready`` and ``.is_ready()`` report completion
+    immediately WITHOUT the work having executed (verified: is_ready
+    returned True after 0.05 s on a chain whose materialization then took
+    246 s). Every timing that does not drain the result measures enqueue
+    fiction — the r2/r3 BENCH numbers (24k-478k iters/s) were exactly
+    that. The only honest wall clock is enqueue -> drain, reported here.
+    The drain path pays the tunnel's synchronous per-op round-trips
+    (~0.7 ms x ~2000 HLO ops for this program), so this is a LOWER bound
+    on what the chip itself sustains; it is what a user of this
+    environment actually gets. Also returns the enqueue-only rate as the
+    documented upper-bound artifact.
+    """
     from slam_eds_tpu.ops import energy
 
     state, images, H, W = build_ba_problem()
@@ -109,16 +124,37 @@ def bench_ba(iters_per_call: int, reps: int = 9):
         return st, e
 
     step_j = jax.jit(step)
-    st, e = step_j(state, images)
+    st, e = step_j(state, images)   # compile
     jax.block_until_ready(st)
-    times = []
-    for _ in range(reps):
+
+    # enqueue-only (pipelined) timing — fiction through the tunnel, kept
+    # for comparability with r2/r3 artifacts
+    t0 = time.perf_counter()
+    cur = state
+    for _ in range(chain):
+        cur, e_p = step_j(cur, images)
+    t_enqueue = time.perf_counter() - t0
+
+    # true rate: drained chains. The tunnel's sync-replay rate varies by
+    # >10x between sessions (measured 1.35 s to 24 s for the same call),
+    # so run a few chains and report the best (still a lower bound on the
+    # chip; the per-chain list rides along for the variance record).
+    walls = []
+    for _ in range(3):
         t0 = time.perf_counter()
-        st, e = step_j(state, images)
-        jax.block_until_ready(st)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    return iters_per_call / dt
+        cur = state
+        for _ in range(chain):
+            cur, e = step_j(cur, images)
+        _ = float(e)                # forces the whole chain to execute
+        walls.append(time.perf_counter() - t0)
+    best = min(walls)
+    return {
+        "iters_per_s_true": iters_per_call * chain / best,
+        "ms_per_call_true": 1e3 * best / chain,
+        "ms_per_call_per_chain": [round(1e3 * w / chain, 1) for w in walls],
+        "iters_per_s_enqueue_only": iters_per_call * chain
+        / max(t_enqueue, 1e-9),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -198,10 +234,8 @@ def main():
     baseline_rate = base["gn_iters_per_s"] if base else 30.0
 
     # production-representative: ONE dispatch per keyframe BA (6 GN iters,
-    # setting_maxOptIterations, settings.cpp:81)
-    prod_rate = bench_ba(6)
-    # amortized: 16 keyframes' worth of GN chained in one dispatch
-    amort_rate = bench_ba(96)
+    # setting_maxOptIterations, settings.cpp:81), drain-inclusive
+    ba = bench_ba(6, chain=8)
 
     e2e = {}
     try:
@@ -209,13 +243,25 @@ def main():
     except Exception as exc:          # never lose the BA numbers
         e2e = {"error": repr(exc)}
 
+    prod_rate = ba["iters_per_s_true"]
     print(json.dumps({
         "metric": "keyframe_ba_gn_iters_per_s",
         "value": round(prod_rate, 2),
         "unit": "iters/s",
         "vs_baseline": round(prod_rate / baseline_rate, 3),
         "extra": {
-            "ba_iters_per_s_amortized_96": round(amort_rate, 2),
+            "ba_true_ms_per_6iter_call": round(ba["ms_per_call_true"], 2),
+            "ba_ms_per_call_per_chain": ba["ms_per_call_per_chain"],
+            "ba_iters_per_s_enqueue_only_UPPER_BOUND": round(
+                ba["iters_per_s_enqueue_only"], 1),
+            "measurement_note": (
+                "true rate = dependent-chain wall incl. one host "
+                "materialization; through the axon tunnel "
+                "block_until_ready/is_ready report completion without "
+                "executing, so undrained timings (r2/r3 BENCH artifacts) "
+                "overstate by 100-1000x. The drained path pays the "
+                "tunnel's synchronous per-op round-trips and is a lower "
+                "bound on chip capability."),
             "baseline_cpu_measured": base,
             "baseline_note": ("measured via native/dso_baseline.cpp on this "
                               "host's CPU (6 threads, -march=native)"

@@ -24,14 +24,19 @@ from slam_eds_tpu.compile_cache import setup_cache  # noqa: E402
 setup_cache()
 
 
-def _median_ms(f, *args, n=9):
-    out = f(*args)
-    jax.block_until_ready(out)
+def _median_ms(f, *args, n=5):
+    """Drain-inclusive timing: through the axon tunnel block_until_ready
+    reports completion without executing (round-4 finding), so each
+    sample materializes one output leaf to force execution."""
+    def drain(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+
+    drain(f(*args))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
+        drain(f(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 

@@ -24,14 +24,18 @@ from slam_eds_tpu.compile_cache import setup_cache  # noqa: E402
 setup_cache()
 
 
-def _median_s(fn, n=15):
-    out = fn()
-    jax.block_until_ready(out)
+def _median_s(fn, n=5):
+    """Drain-inclusive (block_until_ready through the axon tunnel does not
+    imply execution — round-4 finding)."""
+    def drain(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+
+    drain(fn())
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        drain(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 

@@ -72,7 +72,10 @@ def build_state(P, F=8, H=480, W=640, seed=0):
     return state, jnp.asarray(imgs), H, W
 
 
-def time_iterate(state, images, H, W, iters_per_call=24, reps=5):
+def time_iterate(state, images, H, W, iters_per_call=24, reps=3):
+    """Drain-inclusive: each sample materializes the energy scalar, since
+    block_until_ready through the axon tunnel does not imply execution
+    (round-4 finding)."""
     from slam_eds_tpu.ops import energy
 
     def step(st, im):
@@ -81,12 +84,12 @@ def time_iterate(state, images, H, W, iters_per_call=24, reps=5):
 
     stepj = jax.jit(step)
     st, e = stepj(state, images)
-    jax.block_until_ready(st)
+    _ = float(e)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         st, e = stepj(state, images)
-        jax.block_until_ready(st)
+        _ = float(e)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) / iters_per_call
 

@@ -52,6 +52,20 @@ def build_tpl_from_dense(img_ref, cam, idepth, n_levels=4):
     return tpls, pyr
 
 
+# shared jitted runner: eager track_newest_coarse dispatches thousands of
+# tiny ops per call (41 s/test); one compile shared across tests
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("max_iterations",))
+def _track_j(tpls, tgt_pyr, cams, pose0, max_iterations):
+    return ct.track_newest_coarse(
+        tpls, tgt_pyr, cams, pose0, jnp.zeros(2),
+        (jnp.float32(1.0), jnp.float32(1.0)), jnp.zeros(2),
+        min_res_for_abort=jnp.full((len(cams),), 1e9, jnp.float32),
+        max_iterations=max_iterations)
+
+
 def test_build_template_levels(rng):
     img = textured(rng)
     cam = make_cam()
@@ -74,12 +88,8 @@ def test_track_recovers_known_pose(rng):
     tgt_pyr, _ = image.build_pyramid(jnp.asarray(img_new), 4)
     cams = [cam.pyramid_level(l) for l in range(4)]
 
-    res = ct.track_newest_coarse(
-        tpls, tgt_pyr, cams,
-        SE3.identity(), jnp.zeros(2),
-        (jnp.float32(1.0), jnp.float32(1.0)), jnp.zeros(2),
-        min_res_for_abort=jnp.full((4,), 1e9, jnp.float32),
-        max_iterations=(10, 20, 50, 50))
+    res = _track_j(tpls, tgt_pyr, cams, SE3.identity(),
+                   max_iterations=(10, 20, 50, 50))
     assert bool(res.ok)
     err = true_pose.inverse().compose(res.pose).log()
     assert float(jnp.linalg.norm(err)) < 2e-3, np.asarray(err)
@@ -96,11 +106,8 @@ def test_track_with_affine_change(rng):
     tpls, _ = build_tpl_from_dense(img_ref, cam, idepth)
     tgt_pyr, _ = image.build_pyramid(jnp.asarray(img_new), 4)
     cams = [cam.pyramid_level(l) for l in range(4)]
-    res = ct.track_newest_coarse(
-        tpls, tgt_pyr, cams, SE3.identity(), jnp.zeros(2),
-        (jnp.float32(1.0), jnp.float32(1.0)), jnp.zeros(2),
-        min_res_for_abort=jnp.full((4,), 1e9, jnp.float32),
-        max_iterations=(10, 20, 50, 50))
+    res = _track_j(tpls, tgt_pyr, cams, SE3.identity(),
+                   max_iterations=(10, 20, 50, 50))
     assert bool(res.ok)
     err = true_pose.inverse().compose(res.pose).log()
     assert float(jnp.linalg.norm(err)) < 5e-3, np.asarray(err)
