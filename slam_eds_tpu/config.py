@@ -80,6 +80,11 @@ class BundlesConfig:
     min_frames: int = 5                 # setting_minFrames
     max_opt_iterations: int = 6         # setting_maxOptIterations
     min_opt_iterations: int = 1         # setting_minOptIterations
+    # relative energy improvement below which the per-keyframe GN loop
+    # terminates early (the reference's external driver breaks the same
+    # way between min/max iterations; 0 disables)
+    opt_break_tol: float = 5e-5
+    min_opt_iterations: int = 1         # setting_minOptIterations
     huber_th: float = 9.0               # setting_huberTH
     outlier_th: float = 144.0           # setting_outlierTH = 12^2
     outlier_th_sum_component: float = 2500.0  # 50^2

@@ -594,7 +594,9 @@ class WindowManager:
             lam=self.cfg.bundles.fix_lambda,
             huber_th=self.cfg.bundles.huber_th,
             outlier_th_sum=self.cfg.bundles.outlier_th_sum_component,
-            orth_from_iteration=self.cfg.bundles.orthogonalize_x_from_it)
+            orth_from_iteration=self.cfg.bundles.orthogonalize_x_from_it,
+            min_iterations=self.cfg.bundles.min_opt_iterations,
+            break_tol=self.cfg.bundles.opt_break_tol)
         # refresh per-frame outlier thresholds from the residual statistics
         self._update_energy_th(lin)
         return float(e), lin

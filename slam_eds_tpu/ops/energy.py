@@ -483,28 +483,59 @@ def apply_step(state: BAState, sol: SolveResult,
 
 
 @partial(jax.jit, static_argnames=("height", "width", "iterations",
-                                   "orth_from_iteration"))
+                                   "orth_from_iteration",
+                                   "min_iterations", "break_tol"))
 def ba_iterate(state: BAState, target_images, height: int, width: int,
                iterations: int = 6, lam: float = 1e-5,
                huber_th: float = 9.0, outlier_th_sum: float = 2500.0,
-               orth_from_iteration: int = 2):
-    """Run fixed GN iterations (setting_maxOptIterations=6 with
-    FIX_LAMBDA, forceAcceptStep — no step rejection in the reference's
-    default solver mode). Returns (state, final_energy, lin).
+               orth_from_iteration: int = 2,
+               min_iterations: int = 1, break_tol: float = 0.0):
+    """Run GN iterations (setting_maxOptIterations=6 /
+    setting_minOptIterations=1, settings.cpp:81-82; FIX_LAMBDA +
+    forceAcceptStep — no step rejection in the reference's default solver
+    mode). Returns (state, final_energy, lin).
 
-    The iteration is a lax.fori_loop so the (large) GN body compiles once;
-    the late-start nullspace orthogonalization (ORTHOGONALIZE_X_LATER)
-    becomes a traced select on the iteration index.
+    break_tol > 0 enables the driver-level early termination between
+    min_iterations and iterations: stop when the relative energy
+    improvement of an iteration falls below break_tol (the reference's
+    external driver breaks its optimize loop the same way; with the
+    default 0.0 the loop runs all `iterations`, preserving fixed-count
+    comparisons).
+
+    The iteration is a lax.while_loop so the (large) GN body compiles
+    once; the late-start nullspace orthogonalization
+    (ORTHOGONALIZE_X_LATER) becomes a traced select on the iteration
+    index.
     """
-    def body(it, st):
+    def gn(it, st):
         lin = linearize(st, target_images, height, width,
                         huber_th=huber_th, outlier_th_sum=outlier_th_sum)
         asm = assemble(st, lin)
         sol = solve_delta(st, asm, lam=lam,
                           use_orth=(it >= orth_from_iteration))
-        return apply_step(st, sol)
+        e = jnp.sum(lin.energy)
+        return apply_step(st, sol), e
 
-    state = jax.lax.fori_loop(0, iterations, body, state)
+    if break_tol <= 0.0:
+        def body(it, st):
+            st, _ = gn(it, st)
+            return st
+        state = jax.lax.fori_loop(0, iterations, body, state)
+    else:
+        def cond(c):
+            st, it, e_prev, done = c
+            return (it < iterations) & ~done
+        def body(c):
+            st, it, e_prev, _ = c
+            st, e = gn(it, st)
+            rel = jnp.abs(e_prev - e) / jnp.maximum(e_prev, 1e-12)
+            done = (it + 1 >= min_iterations) & (rel < break_tol) \
+                & jnp.isfinite(e)
+            return (st, it + 1, e, done)
+        state, _, _, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0), jnp.asarray(jnp.inf),
+                         jnp.asarray(False)))
+
     lin = linearize(state, target_images, height, width, huber_th=huber_th,
                     outlier_th_sum=outlier_th_sum)
     energy = jnp.sum(lin.energy)
