@@ -161,14 +161,10 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     if not frame_only and os.path.exists(events_path):
         ring = eb.EventRing(1 << 22) if eb.available() \
             else eb.PurePythonRing(1 << 22)
-        if eb.available():
-            reader = eb.EventFileReader(events_path)
-        else:  # numpy text fallback
-            rows = np.loadtxt(events_path, comments="#")
-            reader = None
-            ring.push(rows[:, 1].astype(np.float32),
-                      rows[:, 2].astype(np.float32), rows[:, 0],
-                      np.where(rows[:, 3] > 0, 1.0, -1.0).astype(np.float32))
+        # streaming reader either way: the pure-Python fallback reads the
+        # text file incrementally (O(chunk) memory for multi-GB files)
+        reader = (eb.EventFileReader if eb.available()
+                  else eb.PurePythonReader)(events_path)
 
     from .io import frame_loader as fl
     from .io.dataset import EventPacket
@@ -217,16 +213,17 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
             pipe.process_frame(_frame(k), float(t_img))
             if ring is None:
                 continue
-            if eb.available() and reader is not None:
-                reader.pump(ring, 1 << 16)   # keep the ring topped up
             if k + 1 >= len(img_times):
                 continue
             # time-sliced packets: all events up to the next frame, in
             # chunks of at most events_per_frame (the reference driver's
             # packetization — events between consecutive frames tracked
-            # against the last KF)
+            # against the last KF). The reader tops the ring up between
+            # pops so ring capacity bounds memory, not file size.
             t_next = float(img_times[k + 1])
             while True:
+                if reader is not None:
+                    reader.pump(ring, 1 << 16)
                 xs, ys, ts, ps, n, med = ring.pop_until(t_next, cap)
                 if n < 64:   # too thin to rasterize a usable event frame
                     break

@@ -205,3 +205,29 @@ def test_eds_pipeline_with_track_refinement(seq):
     err = float(ate_rmse(jnp.asarray(np.stack(ev_pos)),
                          jnp.asarray(np.stack(ev_gt))))
     assert err < 0.12, err
+
+
+def test_long_deferred_bootstrap_bookkeeping(seq):
+    """VERDICT r3 weak-7: a long-deferred bootstrap (static camera -> the
+    parallax gate holds the anchor) must keep the trajectory/timestamp
+    bookkeeping consistent and still initialize once motion appears."""
+    pipe = FrameOnlyPipeline(CAM, small_config())
+    t0, img0, _ = seq.frame(0)
+    # 6 static frames: zero parallax, the eight-point gate must defer
+    for j in range(6):
+        pipe.process_frame(img0, 0.01 * j)
+        assert not pipe._initialized
+    # motion resumes: bootstrap against the held anchor
+    boot_at = None
+    for k in range(1, 10):
+        t, img, _ = seq.frame(k)
+        pipe.process_frame(img, 1.0 + t)
+        if boot_at is None and pipe._initialized:
+            boot_at = k
+    assert pipe._initialized, "never bootstrapped after motion resumed"
+    assert boot_at is not None and boot_at >= 1
+    # bookkeeping: parallel lists stay aligned, timestamps monotonic
+    assert len(pipe.times) == len(pipe.poses) == len(pipe.trajectory)
+    assert all(b >= a for a, b in zip(pipe.times, pipe.times[1:]))
+    est = pipe.positions()
+    assert np.isfinite(est).all()

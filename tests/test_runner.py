@@ -125,3 +125,37 @@ def test_runner_dual_rig(tmp_path):
     assert res["frames"] == 8
     assert res["packets"] >= 2
     assert "ate_rmse" in res and res["ate_rmse"] < 0.2, res.get("ate_rmse")
+
+
+def test_runner_pure_python_fallback_streams(tmp_path, monkeypatch):
+    """The no-toolchain path must stream events.txt incrementally (r3
+    verdict weak-8: the old fallback np.loadtxt'd the whole file) and
+    produce the same pipeline behavior as the native path."""
+    from slam_eds_tpu.io import event_buffer as eb
+    from slam_eds_tpu.runner import run_sequence
+    from dataclasses import replace
+
+    seq = SyntheticSequence(CAM, num_frames=8, events_per_packet=8192,
+                            motion_scale=0.35)
+    d = str(tmp_path / "seq")
+    _export(seq, d)
+    monkeypatch.setattr(eb, "available", lambda: False)
+    # tiny ring: forces repeated pump/pop cycles within one interval
+    orig_ring = eb.PurePythonRing
+    monkeypatch.setattr(eb, "PurePythonRing",
+                        lambda cap=0: orig_ring(1 << 14))
+    cfg = load_config({
+        "caps": {"max_points_per_kf": 512, "max_immature_per_kf": 512,
+                 "max_window_frames": 6, "max_events": 8192},
+        "bundles": {"window_size": 4, "min_frames": 3},
+        "coarse": {"pyr_levels": 4, "max_iterations": [10, 20, 30, 30]},
+        "selector": {"desired_immature_density": 400.0,
+                     "desired_point_density": 300.0},
+        "event_frame": {"num_levels": 2, "events_per_frame": 4096},
+        "tracker": {"max_iterations": [15, 10],
+                    "max_step_translation": 0.5},
+    })
+    res = run_sequence(d, cfg, verbose=False)
+    assert res["frames"] == 8
+    assert res["packets"] >= 5           # small ring -> several packets
+    assert "ate_rmse" in res and res["ate_rmse"] < 0.25, res["ate_rmse"]
