@@ -223,6 +223,7 @@ class FrameOnlyPipeline:
         self._frames_since_kf = 0
         self._lost = False              # explicit lost state (DSO isLost)
         self._lost_frames = 0           # consecutive lost frames
+        self._last_rms = float("inf")   # finest-level residual of last OK
         self._resets = 0                # full-reset generation counter
         self._world_anchor = SE3.identity()  # segment start (worldToCam)
 
@@ -250,6 +251,7 @@ class FrameOnlyPipeline:
         self._initialized = False
         self._lost = False
         self._lost_frames = 0
+        self._last_rms = float("inf")
         self._motion = SE3.identity()
         self._frames_since_kf = 0
         self._resets += 1
@@ -484,16 +486,34 @@ class FrameOnlyPipeline:
             T = w.state.current_poses()
             s = w.newest_slot
             preds.append(SE3(T.R[s], T.t[s]))
+        # DSO's re-track policy (achievedRes / lastCoarseRMSE): the first
+        # OK hypothesis is accepted outright only when its finest-level
+        # residual stays within 1.5x the previous frame's; otherwise the
+        # remaining hypotheses are tried too and the best OK one wins —
+        # a spuriously-converged local minimum (observed at 640x480: a
+        # |t|~0.24 jump on a ~0.02 true motion) rarely beats a hypothesis
+        # started from the correct basin.
         res = T_wc = None
+        best = None
         for pred in preds:
-            res, T_wc = self.window.track_frame(img, pred)
-            if bool(res.ok):
+            r, T = self.window.track_frame(img, pred)
+            if not bool(r.ok):
+                if res is None:
+                    res, T_wc = r, T     # keep something for telemetry
+                continue
+            r0 = float(r.residuals[0])
+            if best is None or r0 < best[2]:
+                best = (r, T, r0)
+            if r0 <= 1.5 * self._last_rms:
                 break
+        if best is not None:
+            res, T_wc = best[0], best[1]
         if bool(res.ok):
             self._motion = T_wc.compose(self._last_pose.inverse())
             self._lost = False
             self._lost_frames = 0
             self._last_good_pose = T_wc
+            self._last_rms = best[2]
         else:
             # pure hold while lost (reference DSO sets isLost and stops
             # publishing). Advancing by _motion compounded: one spurious

@@ -57,8 +57,8 @@ def _track_coarse_compiled(templates, pyr, cams, pose, aff, exposures,
 @_partial(jax.jit, static_argnames=("max_iterations", "huber_th",
                                     "cutoff_th"))
 def _track_frame_compiled(state, slot, templates, pyr, cams, pose_init,
-                          aff_init, exposure, *, max_iterations, huber_th,
-                          cutoff_th):
+                          aff_init, exposure, min_res_for_abort, *,
+                          max_iterations, huber_th, cutoff_th):
     """track_frame's whole device program in one dispatch: relative-pose
     prefix (refToNew from the window state) + the coarse LM + the world
     pose composition. Returns (TrackResult, T_wc)."""
@@ -69,7 +69,7 @@ def _track_frame_compiled(state, slot, templates, pyr, cams, pose_init,
     res = ct.track_newest_coarse(
         templates, pyr, cams, ref_to_new, aff_init,
         (state.exposure[slot], exposure), aff_kf,
-        jnp.full((len(cams),), 1e9, jnp.float32),
+        min_res_for_abort,
         max_iterations=max_iterations, huber_th=huber_th,
         cutoff_th=cutoff_th)
     T_wc = res.pose.compose(T_kf)
@@ -751,6 +751,11 @@ class WindowManager:
             self.state, self.newest_slot, self.coarse_templates, pyr, cams,
             pose_init, jnp.asarray(aff_init, jnp.float32),
             jnp.asarray(exposure, jnp.float32),
+            # abort thresholds disabled at the kernel level: DSO uses the
+            # achieved residuals to widen/terminate the HYPOTHESIS ladder
+            # (a policy the pipeline implements host-side), not as a hard
+            # cross-frame failure gate
+            jnp.full((self.cfg.coarse.pyr_levels,), 1e9, jnp.float32),
             max_iterations=tuple(self.cfg.coarse.max_iterations),
             huber_th=self.cfg.coarse.huber_th,
             cutoff_th=self.cfg.coarse.coarse_cutoff_th)
