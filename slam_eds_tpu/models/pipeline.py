@@ -320,13 +320,23 @@ class FrameOnlyPipeline:
         if int(jnp.sum(res.inliers)) < self.cfg.initializer.min_inliers:
             return False
 
-        # seed: frame 0 at the segment anchor (identity for the first
-        # segment), frame 1 at the recovered unit-baseline pose
+        # canonicalize the monocular scale: median seed idepth -> 1 (the
+        # DSO initializer applies the same rescale). The raw two-view
+        # triangulation carries degenerate tails (observed idepth spreads
+        # of 1e-4..1e2 on near-epipole tracks) whose immature intervals
+        # trace straight to OOB and can starve activation; after the
+        # rescale, seeds outside a generous band are dropped.
+        from ..utils.stats import masked_median as _mmed
+        med_idp = jnp.maximum(_mmed(res.idepth, res.inliers), 1e-6)
         seed_uv = uv0
-        seed_idp = res.idepth
-        seed_mask = res.inliers
+        seed_idp = res.idepth / med_idp
+        seed_mask = res.inliers & (seed_idp > 0.05) & (seed_idp < 20.0)
+        # scaling depths by 1/med requires scaling the baseline the same
+        # way to keep reprojections identical: X2 = R X1 + t with
+        # z' = z * med  =>  t' = t * med
+        T_21 = SE3(res.T_21.R, res.T_21.t * med_idp)
         anchor = self._world_anchor
-        T1 = res.T_21.compose(anchor)
+        T1 = T_21.compose(anchor)
         self.window.insert_frame(img0, anchor, t0, is_first=True,
                                  immature_seed=(seed_uv, seed_idp, seed_mask))
         self.window.insert_frame(img1, T1, t1, immature_seed=None)
