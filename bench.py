@@ -118,9 +118,13 @@ def bench_ba(iters_per_call: int, chain: int = 20):
 
     state, images, H, W = build_ba_problem()
 
+    # final_linearize=False: the reference's 6-iteration budget is 6
+    # linearize+solve passes (settings.cpp:81) — dso_baseline.cpp counts
+    # exactly those, so the compared programs do identical work
     def step(state, images):
         st, e, _ = energy.ba_iterate(state, images, H, W,
-                                     iterations=iters_per_call)
+                                     iterations=iters_per_call,
+                                     final_linearize=False)
         return st, e
 
     step_j = jax.jit(step)

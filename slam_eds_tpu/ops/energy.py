@@ -40,7 +40,22 @@ import jax.numpy as jnp
 from ..models.ba_state import BAState, CPARS, PT_ACTIVE, PT_MARGINALIZE
 from ..utils.lie import SE3
 from ..utils.image import PATTERN_DSO8
-from ..utils.interp import pattern_tile_sample
+from ..utils.interp import pattern_mm_sample
+
+
+def _host_select(oh, table):
+    """Gather-free per-point host lookup: table[host] as a one-hot dot.
+
+    Through the axon tunnel an executed gather costs ~2 us per query
+    (round-5 audit, utils/interp.pattern_mm_sample docstring) — the
+    handful of [host] selects in the GN body each cost ~4 ms/iteration
+    as gathers, milliseconds as dots. oh: [P, F] one-hot of p_host.
+    table: [F, ...] or [F, F, ...] (host-major pair tables, which select
+    to [P, F, ...]).
+    """
+    flat = table.reshape(table.shape[0], -1)
+    out = jnp.einsum("ph,hx->px", oh, flat.astype(oh.dtype))
+    return out.reshape((oh.shape[0],) + table.shape[1:])
 
 
 class Linearization(NamedTuple):
@@ -135,13 +150,14 @@ def linearize(state: BAState, target_images, height: int, width: int,
     b0_host = state.aff_eval[:, 1]                   # FEJ host b (PRE_b0_mode)
 
     host = state.p_host                              # [P]
-    R0_p = R0[host]      # [P, F, 3, 3]
-    t0_p = t0[host]
-    Rc_p = Rc[host]
-    tc_p = tc[host]
-    a_rel_p = a_rel[host]   # [P, F]
-    b_rel_p = b_rel[host]
-    b0_p = b0_host[host]    # [P]
+    oh = jax.nn.one_hot(host, F, dtype=dtype)        # [P, F_h]
+    R0_p = _host_select(oh, R0)      # [P, F, 3, 3]
+    t0_p = _host_select(oh, t0)
+    Rc_p = _host_select(oh, Rc)
+    tc_p = _host_select(oh, tc)
+    a_rel_p = _host_select(oh, a_rel)   # [P, F]
+    b_rel_p = _host_select(oh, b_rel)
+    b0_p = oh @ b0_host                 # [P]
 
     u_pt = state.p_uv[:, 0]
     v_pt = state.p_uv[:, 1]
@@ -200,12 +216,13 @@ def linearize(state: BAState, target_images, height: int, width: int,
     pat_ok = (ptp[..., 2] > 1e-6) & (Ku > 1.1) & (Kv > 1.1) \
         & (Ku < width - 3) & (Kv < height - 3)
 
-    # sample every target frame at its pattern taps: one 16x16 tile fetch
-    # per (point, frame) + in-register bilinear/gradient taps (the element
-    # gather this replaces costs ~10 cycles/element on TPU — see
-    # pattern_tile_sample). Gradients are recomputed from the intensity
-    # tile; identical to sampling the central-difference planes.
-    I_t, gx, gy, in_tile = pattern_tile_sample(target_images[..., 0], Ku, Kv)
+    # sample every target frame at its pattern taps, gather-free: one-hot
+    # matmul row/column contractions (pattern_mm_sample) — identical
+    # values (to ~1e-4) to bilinear taps on the intensity plane with
+    # central-difference gradients, with the per-tap gathers that
+    # dominate drained execution through the TPU tunnel replaced by two
+    # MXU dots per frame.
+    I_t, gx, gy, in_tile = pattern_mm_sample(target_images[..., 0], Ku, Kv)
 
     color = state.p_color[:, None, :]      # [P, 1, K]
     residual = I_t - (a_rel_p[..., None] * color + b_rel_p[..., None])
@@ -235,7 +252,7 @@ def linearize(state: BAState, target_images, height: int, width: int,
     energy = jnp.sum(jnp.where(pat_ok & finite, energy_k, 0.0), axis=-1)
     wJI2 = jnp.sum(hw * hw * (gx * gx + gy * gy)
                    * (pat_ok & finite).astype(dtype), axis=-1)
-    th = jnp.maximum(state.frame_energy_th[host][:, None],
+    th = jnp.maximum((oh @ state.frame_energy_th)[:, None],
                      state.frame_energy_th[None, :])
     outlier = usable & ((energy > th) | (wJI2 < 2.0))
     valid = usable & ~outlier
@@ -266,6 +283,17 @@ def assemble(state: BAState, lin: Linearization,
 
     point_mask: restrict to a subset of points (used by marginalize_points).
     residual_override: replacement for lin.res (FEJ-recentered residuals).
+
+    Structure (round-5): the pattern axis K is contracted FIRST into a
+    per-(point, frame) 14x14 Gram block Q = q^T q with
+    q = [Jrel(8) | Jcalib(4) | Jd(1) | res(1)] per pattern pixel; every
+    output (frame/calib blocks, b, point-Schur vectors) is then a small
+    bilinear transform of Q by the pair adjoints. Mathematically
+    identical to contracting the full [P, F, K, ...] factors (bilinear
+    forms distribute over the K-sum) but the big tensors are read once:
+    ~25 MB/iteration of [P,F,K,8]-shaped intermediates become one
+    [P,F,14,14] block tensor, which matters through any dispatch layer
+    that charges memory traffic (see utils/interp.pattern_mm_sample).
     """
     P, F = lin.valid.shape
     D = state.dim
@@ -277,44 +305,49 @@ def assemble(state: BAState, lin: Linearization,
         vmask = lin.valid & pm
     else:
         vmask = lin.valid
-    vz = vmask[:, :, None, None].astype(dtype)
 
     AH, AT = pair_adjoints(state)
     host = state.p_host
-    AH_p = AH[host[:, None], jnp.arange(F)[None, :]]   # [P, F, 8, 8]
-    AT_p = AT[host[:, None], jnp.arange(F)[None, :]]
-
-    # per-pixel relative 8-dof rows: [P, F, K, 8]
-    Jrel_pose = jnp.einsum("pfkg,pfgx->pfkx", lin.JIdx, lin.Jpdxi)
-    Jrel = jnp.concatenate([Jrel_pose, lin.Jab], axis=-1)
-    host8 = jnp.einsum("pfkx,pfxy->pfky", Jrel, AH_p) * vz
-    target8 = jnp.einsum("pfkx,pfxy->pfky", Jrel, AT_p) * vz
-    calib4 = jnp.einsum("pfkg,pfgc->pfkc", lin.JIdx, lin.Jpdc) * vz
-    Jd = jnp.einsum("pfkg,pfg->pfk", lin.JIdx, lin.Jpdd) \
-        * vmask[..., None].astype(dtype)
-    res_m = res * vmask[..., None].astype(dtype)
-
     oh = jax.nn.one_hot(host, F, dtype=dtype)      # [P, F_h]
+    AH_p = _host_select(oh, AH)   # [P, F, 8, 8]
+    AT_p = _host_select(oh, AT)
+
+    # per-pixel factor q = [Jrel(8) | Jcalib(4) | Jd(1) | res(1)]
+    Jrel_pose = jnp.einsum("pfkg,pfgx->pfkx", lin.JIdx, lin.Jpdxi)
+    calib4 = jnp.einsum("pfkg,pfgc->pfkc", lin.JIdx, lin.Jpdc)
+    Jd = jnp.einsum("pfkg,pfg->pfk", lin.JIdx, lin.Jpdd)
+    q = jnp.concatenate([Jrel_pose, lin.Jab, calib4,
+                         Jd[..., None], res[..., None]], axis=-1)
+    q = q * vmask[:, :, None, None].astype(dtype)
+    Q = jnp.einsum("pfka,pfkb->pfab", q, q)        # [P, F, 14, 14]
+
+    J, C, d, r = slice(0, 8), slice(8, 12), 12, 13
+    QJJ = Q[..., J, J]
+    # adjoint transforms of the relative block
+    XH = jnp.einsum("pfab,pfbx->pfax", QJJ, AH_p)  # QJJ @ AH
+    XT = jnp.einsum("pfab,pfbx->pfax", QJJ, AT_p)
 
     # ---- frame-frame blocks [F, F, 8, 8]
     Hff = jnp.zeros((F, F, 8, 8), dtype)
-    H_hh = jnp.einsum("pfka,pfkb,ph->hab", host8, host8, oh)
-    H_tt = jnp.einsum("pfka,pfkb->fab", target8, target8)
-    H_ht = jnp.einsum("pfka,pfkb,ph->hfab", host8, target8, oh)
+    H_hh = jnp.einsum("pfxa,pfxb,ph->hab", AH_p, XH, oh)
+    H_tt = jnp.einsum("pfxa,pfxb->fab", AT_p, XT)
+    H_ht = jnp.einsum("pfxa,pfxb,ph->hfab", AH_p, XT, oh)
     diag = jnp.arange(F)
     Hff = Hff.at[diag, diag].add(H_hh + H_tt)
     Hff = Hff + H_ht + jnp.swapaxes(H_ht, 0, 1).transpose(0, 1, 3, 2)
 
     # ---- calib blocks
-    H_cc = jnp.einsum("pfka,pfkb->ab", calib4, calib4)
-    H_ch = jnp.einsum("pfka,pfkb,ph->hab", calib4, host8, oh)  # [F,4,8]
-    H_ct = jnp.einsum("pfka,pfkb->fab", calib4, target8)
+    QCJ = Q[..., C, J]
+    H_cc = jnp.einsum("pfab->ab", Q[..., C, C])
+    H_ch = jnp.einsum("pfax,pfxb,ph->hab", QCJ, AH_p, oh)  # [F, 4, 8]
+    H_ct = jnp.einsum("pfax,pfxb->fab", QCJ, AT_p)
     H_cf = H_ch + H_ct
 
     # ---- b
-    b_c = jnp.einsum("pfka,pfk->a", calib4, res_m)
-    b_h = jnp.einsum("pfka,pfk,ph->ha", host8, res_m, oh)
-    b_t = jnp.einsum("pfka,pfk->fa", target8, res_m)
+    QJr = Q[..., J, r]
+    b_c = jnp.einsum("pfa->a", Q[..., C, r])
+    b_h = jnp.einsum("pfx,pfxa,ph->ha", QJr, AH_p, oh)
+    b_t = jnp.einsum("pfx,pfxa->fa", QJr, AT_p)
     b_f = b_h + b_t
 
     H = jnp.zeros((D, D), dtype)
@@ -328,11 +361,12 @@ def assemble(state: BAState, lin: Linearization,
     b = jnp.concatenate([b_c, b_f.reshape(8 * F)])
 
     # ---- point Schur pieces
-    Hdd = jnp.einsum("pfk,pfk->p", Jd, Jd)
-    bd = jnp.einsum("pfk,pfk->p", Jd, res_m)
-    V_c = jnp.einsum("pfka,pfk->pa", calib4, Jd)
-    V_h = jnp.einsum("pfka,pfk->pa", host8, Jd)        # host col per point
-    V_t = jnp.einsum("pfka,pfk->pfa", target8, Jd)     # [P, F, 8]
+    QJd = Q[..., J, d]
+    Hdd = jnp.sum(Q[..., d, d], axis=1)
+    bd = jnp.sum(Q[..., d, r], axis=1)
+    V_c = jnp.einsum("pfa->pa", Q[..., C, d])
+    V_h = jnp.einsum("pfx,pfxa->pa", QJd, AH_p)        # host col per point
+    V_t = jnp.einsum("pfx,pfxa->pfa", QJd, AT_p)       # [P, F, 8]
     V_f = V_t + V_h[:, None, :] * oh[:, :, None]
     V = jnp.concatenate([V_c, V_f.reshape(P, 8 * F)], axis=-1)
 
@@ -484,12 +518,14 @@ def apply_step(state: BAState, sol: SolveResult,
 
 @partial(jax.jit, static_argnames=("height", "width", "iterations",
                                    "orth_from_iteration",
-                                   "min_iterations", "break_tol"))
+                                   "min_iterations", "break_tol",
+                                   "final_linearize"))
 def ba_iterate(state: BAState, target_images, height: int, width: int,
                iterations: int = 6, lam: float = 1e-5,
                huber_th: float = 9.0, outlier_th_sum: float = 2500.0,
                orth_from_iteration: int = 2,
-               min_iterations: int = 1, break_tol: float = 0.0):
+               min_iterations: int = 1, break_tol: float = 0.0,
+               final_linearize: bool = True):
     """Run GN iterations (setting_maxOptIterations=6 /
     setting_minOptIterations=1, settings.cpp:81-82; FIX_LAMBDA +
     forceAcceptStep — no step rejection in the reference's default solver
@@ -506,6 +542,15 @@ def ba_iterate(state: BAState, target_images, height: int, width: int,
     once; the late-start nullspace orthogonalization
     (ORTHOGONALIZE_X_LATER) becomes a traced select on the iteration
     index.
+
+    final_linearize=False skips the post-loop linearization pass and
+    returns (state, last pre-step energy, None). The reference's
+    6-iteration budget (settings.cpp:81) is 6 linearize+solve passes —
+    residual bookkeeping after the loop reuses the LAST iteration's
+    cached jacobians (applyRes, Residuals.cpp:298-320) rather than
+    relinearizing — so callers that do their own point management
+    (and the production-shape benchmark) use False and call
+    ``linearize`` themselves only when they need post-step residuals.
     """
     def gn(it, st):
         lin = linearize(st, target_images, height, width,
@@ -517,10 +562,12 @@ def ba_iterate(state: BAState, target_images, height: int, width: int,
         return apply_step(st, sol), e
 
     if break_tol <= 0.0:
-        def body(it, st):
-            st, _ = gn(it, st)
-            return st
-        state = jax.lax.fori_loop(0, iterations, body, state)
+        def body(it, carry):
+            st, _ = carry
+            st, e = gn(it, st)
+            return st, e
+        state, e_last = jax.lax.fori_loop(
+            0, iterations, body, (state, jnp.asarray(jnp.inf)))
     else:
         def cond(c):
             st, it, e_prev, done = c
@@ -532,10 +579,12 @@ def ba_iterate(state: BAState, target_images, height: int, width: int,
             done = (it + 1 >= min_iterations) & (rel < break_tol) \
                 & jnp.isfinite(e)
             return (st, it + 1, e, done)
-        state, _, _, _ = jax.lax.while_loop(
+        state, _, e_last, _ = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0), jnp.asarray(jnp.inf),
                          jnp.asarray(False)))
 
+    if not final_linearize:
+        return state, e_last, None
     lin = linearize(state, target_images, height, width, huber_th=huber_th,
                     outlier_th_sum=outlier_th_sum)
     energy = jnp.sum(lin.energy)
@@ -548,12 +597,13 @@ def fej_recentered_residuals(state: BAState, lin: Linearization):
     F = state.num_frames
     AH, AT = pair_adjoints(state)
     host = state.p_host
-    dh = state.delta[host]           # [P, 8]
-    dt = state.delta[None, :, :]     # [1, F, 8] -> broadcast
+    oh = jax.nn.one_hot(host, F, dtype=state.delta.dtype)
+    dh = oh @ state.delta            # [P, 8]
+    AH_p = _host_select(oh, AH)
+    AT_p = _host_select(oh, AT)
     # dp = delta_h^T AH + delta_t^T AT  (adHTdeltaF)
-    dp = jnp.einsum("px,pfxy->pfy", dh, AH[host[:, None], jnp.arange(F)[None, :]]) \
-        + jnp.einsum("fx,pfxy->pfy",
-                     state.delta, AT[host[:, None], jnp.arange(F)[None, :]])
+    dp = jnp.einsum("px,pfxy->pfy", dh, AH_p) \
+        + jnp.einsum("fx,pfxy->pfy", state.delta, AT_p)
     dd = (state.p_idepth - state.p_idepth_zero)[:, None]
     Jp_delta = jnp.einsum("pfgx,pfx->pfg", lin.Jpdxi, dp[..., :6]) \
         + jnp.einsum("pfgc,c->pfg", lin.Jpdc, state.c_delta) \

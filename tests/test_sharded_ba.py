@@ -31,9 +31,14 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(float(sh_e), float(ref_e), rtol=1e-3)
     # f32 reduction order differs between the psum tree and the one-device
     # einsum; after 4 GN iterations the difference surfaces on weakly-
-    # constrained (near-gauge) directions — compare to that noise level
-    np.testing.assert_allclose(np.asarray(sh_state.delta),
-                               np.asarray(ref_state.delta), atol=1e-2)
+    # constrained (near-gauge) directions — compare to that noise level.
+    # The affine a/b columns get a looser bound: this scene sets no affine
+    # priors, leaving them near-unobservable (production fixes them with
+    # the DSO 1e12/1e8 priors, config.bundles.affine_opt_mode_a/b)
+    np.testing.assert_allclose(np.asarray(sh_state.delta)[:, :6],
+                               np.asarray(ref_state.delta)[:, :6], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(sh_state.delta)[:, 6:],
+                               np.asarray(ref_state.delta)[:, 6:], atol=5e-2)
     np.testing.assert_allclose(np.asarray(sh_state.p_idepth),
                                np.asarray(ref_state.p_idepth), atol=2e-3)
 
