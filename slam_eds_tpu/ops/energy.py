@@ -43,6 +43,18 @@ from ..utils.image import PATTERN_DSO8
 from ..utils.interp import pattern_mm_sample
 
 
+def _pattern_sample(planes, u, v):
+    """Backend dispatch for the hot tap sampler: the Pallas kernel on TPU
+    (weights generated in VMEM — no [N, W]-shaped HBM traffic, see
+    ops/pallas/sample.py), the XLA one-hot matmul path elsewhere (Pallas
+    on CPU would need interpret mode). Resolved at trace time; the
+    backend is fixed per process."""
+    if jax.default_backend() == "tpu":
+        from .pallas.sample import pattern_pallas_sample
+        return pattern_pallas_sample(planes, u, v)
+    return pattern_mm_sample(planes, u, v)
+
+
 def _host_select(oh, table):
     """Gather-free per-point host lookup: table[host] as a one-hot dot.
 
@@ -222,7 +234,7 @@ def linearize(state: BAState, target_images, height: int, width: int,
     # central-difference gradients, with the per-tap gathers that
     # dominate drained execution through the TPU tunnel replaced by two
     # MXU dots per frame.
-    I_t, gx, gy, in_tile = pattern_mm_sample(target_images[..., 0], Ku, Kv)
+    I_t, gx, gy, in_tile = _pattern_sample(target_images[..., 0], Ku, Kv)
 
     color = state.p_color[:, None, :]      # [P, 1, K]
     residual = I_t - (a_rel_p[..., None] * color + b_rel_p[..., None])
@@ -405,15 +417,21 @@ def nullspaces(state: BAState):
     return N / jnp.maximum(norms, 1e-12)[None, :]
 
 
-def orthogonalize(x, N, sv_cutoff: float = 1e-5):
-    """Project x off span(N) using the SVD pseudo-inverse with relative
-    singular-value cutoff (EnergyFunctional::orthogonalize)."""
-    U, S, Vt = jnp.linalg.svd(N, full_matrices=False)
-    Sinv = jnp.where(S > sv_cutoff * jnp.max(S), 1.0 / jnp.maximum(S, 1e-20), 0.0)
-    # P = N (N^T N)^-1 N^T = U U^T restricted to numerically-nonzero modes
-    keep = (Sinv > 0).astype(x.dtype)
-    Uk = U * keep[None, :]
-    return x - Uk @ (Uk.T @ x)
+def orthogonalize(x, N):
+    """Project x off span(N) (EnergyFunctional::orthogonalize).
+
+    The reference forms the SVD pseudo-inverse with a relative singular-
+    value cutoff; the columns of N here are unit-normalized (see
+    ``nullspaces``) and at most rank-deficient by degenerate window
+    geometry, so the equivalent Gram-matrix projection
+    x - N (N^T N + eps I)^-1 N^T x (a 7x7 Cholesky) is used instead — an
+    SVD per GN iteration costs ~1 ms of small serial ops on TPU, the
+    Gram solve microseconds. eps plays the reference's cutoff role:
+    near-zero modes of N contribute ~0 to the projector instead of
+    blowing up."""
+    G = N.T @ N + 1e-10 * jnp.eye(N.shape[1], dtype=x.dtype)
+    c = jax.scipy.linalg.cho_factor(G)
+    return x - N @ jax.scipy.linalg.cho_solve(c, N.T @ x)
 
 
 class SolveResult(NamedTuple):
@@ -484,11 +502,17 @@ def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
     H_f = jnp.where(act[:, None] & act[None, :], H_f, 0.0)
     H_f = H_f + jnp.diag(jnp.where(act, 0.0, 1.0))
 
-    # scaled solve (SVecI preconditioning, EnergyFunctional.cpp:888-893)
+    # scaled solve (SVecI preconditioning, EnergyFunctional.cpp:888-893).
+    # The reference LDLT-solves the scaled system; the damped GN Hessian +
+    # priors is PSD (diag ~1 after scaling), so a Cholesky solve with a
+    # small scaled jitter is equivalent and much cheaper on TPU than LU
+    # with pivoting (jnp.linalg.solve): ~35% of the whole 6-iteration BA
+    # dispatch was the solve stage before this change (round-5 decomp).
     svec_i = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(H_f)) + 10.0)
     Hs = H_f * svec_i[:, None] * svec_i[None, :]
     bs = b_f * svec_i
-    x = svec_i * jnp.linalg.solve(Hs + 1e-10 * jnp.eye(D, dtype=dtype), bs)
+    c = jax.scipy.linalg.cho_factor(Hs + 1e-8 * jnp.eye(D, dtype=dtype))
+    x = svec_i * jax.scipy.linalg.cho_solve(c, bs)
     x = jnp.where(act, x, 0.0)
 
     # gauge projection; use_orth may be a traced bool (ORTHOGONALIZE_X_LATER

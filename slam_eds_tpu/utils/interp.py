@@ -188,6 +188,19 @@ def bicubic_with_grad(img, x, y):
     return _poison_nonfinite(x, y, f, dfdx, dfdy)
 
 
+def _hat(coord, idx):
+    """Bilinear hat weights w[..., i] = max(0, 1 - |idx_i - coord|).
+
+    Evaluated densely over an image axis this IS the one-hot-with-
+    fractional-blend row/column selector ((1-f) at floor(c), f at
+    floor(c)+1) for any in-range coordinate, built from one subtract /
+    abs / relu instead of integer comparisons — no int tensors, ~2x less
+    construction traffic. Out-of-range coords get all-zero weights; the
+    caller's ``ok`` mask already excludes them.
+    """
+    return jnp.maximum(0.0, 1.0 - jnp.abs(idx - coord[..., None]))
+
+
 def pattern_mm_sample(planes, u, v, precision=None):
     """Gather-free bilinear (value, gx, gy) pattern sampling via one-hot
     matmuls — same contract and (to ~1e-4 abs) same values as
@@ -199,24 +212,28 @@ def pattern_mm_sample(planes, u, v, precision=None):
     PER QUERY once the stream is in drained/sync mode — the P*F*K = 131k
     tap fetches of the BA linearization cost ~190 ms per GN iteration,
     1000x the chip's compute time, and dominate every drained benchmark.
-    Dense dot + fused elementwise programs pay no such tax (measured
-    ~5 ms/iteration for this sampler at the same operating point, 38x
-    less). On a directly-attached chip the 4x4 block-gather path is the
-    faster one (~0.2 ms); this sampler is the right trade through any
-    dispatch layer that taxes dynamic addressing, and is still only
-    ~2x chip-time over the gather path at the reference shape.
+    Dense dot + fused elementwise programs pay no such tax. On a
+    directly-attached chip the 4x4 block-gather path is the faster one
+    (~0.2 ms); this sampler is the right trade through any dispatch
+    layer that taxes dynamic addressing.
 
-    Structure: the separable bilinear/central-difference stencil is two
-    row contractions against one-hot(+fractional-weight) row selectors
-    [F, 2, N, H] x [F, H, W] -> strip rows, then three column-weighted
-    VPU reductions. Row weights fold the fy blend (value/gx share one
-    virtual row, gy uses the 4-tap central-difference row weights), so
-    the MXU work is 2*N*H*W MACs per frame. Dots default to
-    ``Precision.HIGH`` (bf16x3: max abs error 0.018 gray levels vs the
-    exact gather path at the reference shape — far below photometric
-    noise — at 2/3 the HIGHEST cost); pass ``Precision.HIGHEST`` for
-    ~1e-4-exact sampling (DEFAULT's plain bf16 rounds intensities by
-    ~1 gray level and is not offered as a default).
+    Structure (round-5 rev): columns first. The separable stencil
+    w_row^T A w_col is contracted as C[n, h] = sum_w A[h, w] w_col[n, w]
+    (one [N, W] x [W, H]-shaped MXU dot per frame per column-weight kind)
+    followed by cheap row-weighted VPU reductions over H. Relative to
+    the original row-first form this shrinks the peak intermediate from
+    [F, 2, N, W] + [F, 2, N, H] selectors (~1.2 GB at the reference
+    operating point) to two [F, N, H] strips (~250 MB each) — HBM is the
+    binding resource, and the batched-window mode OOMed at B=32 on the
+    old layout. Weights are hat functions (see ``_hat``), not integer
+    one-hot compares. MXU work is 2*N*H*W MACs per frame (wv and wg
+    column kinds); value/gx/gy share the two C strips.
+
+    Dots default to ``Precision.HIGH`` (bf16x3: max abs error ~0.02 gray
+    levels vs the exact gather path — far below photometric noise — at
+    1/2 the HIGHEST cost); ``Precision.DEFAULT`` (plain bf16, ~3x
+    cheaper again) rounds intensities by ~1 gray level — offered for
+    throughput-critical batched replay, not the default.
 
     planes: [F, H, W]. u, v: [P, F, K] tap pixel coords.
     Returns (I, gx, gy, ok), each [P, F, K].
@@ -230,45 +247,24 @@ def pattern_mm_sample(planes, u, v, precision=None):
 
     uc = jnp.clip(jnp.nan_to_num(u, nan=-8.0), -8.0, W + 8.0)
     vc = jnp.clip(jnp.nan_to_num(v, nan=-8.0), -8.0, H + 8.0)
-    x0 = jnp.floor(uc).astype(jnp.int32)
-    y0 = jnp.floor(vc).astype(jnp.int32)
     ok = (uc >= 1.0) & (uc < W - 2.0) & (vc >= 1.0) & (vc < H - 2.0)
-    fx = uc - x0.astype(dtype)
-    fy = vc - y0.astype(dtype)
 
-    tofn = lambda a: jnp.moveaxis(a, 1, 0).reshape(F, N)
-    y0f, x0f, fxf, fyf = tofn(y0), tofn(x0), tofn(fx), tofn(fy)
-    # clamped strip bases (same as the tile path; clamped taps are garbage
-    # and masked by ok)
-    ybase = jnp.clip(y0f - 1, 0, H - 4)
-    xbase = jnp.clip(x0f - 1, 0, W - 4)
-    ry = (y0f - ybase)[..., None]          # tap row offset in strip
+    tofn = lambda a: jnp.moveaxis(a, 1, 0).reshape(F, N).astype(dtype)
+    xf, yf = tofn(uc), tofn(vc)
 
-    iy = jnp.arange(H, dtype=jnp.int32)
-    rely = iy[None, None, :] - ybase[:, :, None]          # [F, N, H]
-    onefy = (1.0 - fyf)[..., None]
-    fye = fyf[..., None]
-    # value/gx virtual row: (1-fy) @ y0, fy @ y0+1
-    wry = ((rely == ry) * onefy + (rely == ry + 1) * fye).astype(dtype)
-    # gy virtual row: 0.5*[-(1-fy)@y0-1, -fy@y0, (1-fy)@y0+1, fy@y0+2]
-    wgy = (0.5 * ((rely == ry + 1) * onefy + (rely == ry + 2) * fye
-                  - (rely == ry - 1) * onefy - (rely == ry) * fye)
-           ).astype(dtype)
-    Wrow = jnp.stack([wry, wgy], 1)                        # [F, 2, N, H]
-    R = jnp.einsum("frnh,fhw->frnw", Wrow, planes, precision=precision)
+    ix = jnp.arange(W, dtype=dtype)
+    wv = _hat(xf, ix)                                   # [F, N, W]
+    wg = 0.5 * (_hat(xf + 1.0, ix) - _hat(xf - 1.0, ix))
+    # column-first contraction: C[f, n, h] strips
+    C1 = jnp.einsum("fhw,fnw->fnh", planes, wv, precision=precision)
+    C2 = jnp.einsum("fhw,fnw->fnh", planes, wg, precision=precision)
 
-    ix = jnp.arange(W, dtype=jnp.int32)
-    relx = ix[None, None, :] - xbase[:, :, None]           # [F, N, W]
-    rxo = (x0f - xbase)[..., None]
-    onefx = (1.0 - fxf)[..., None]
-    fxe = fxf[..., None]
-    wv = ((relx == rxo) * onefx + (relx == rxo + 1) * fxe).astype(dtype)
-    wg = (0.5 * ((relx == rxo + 1) * onefx + (relx == rxo + 2) * fxe
-                 - (relx == rxo - 1) * onefx - (relx == rxo) * fxe)
-          ).astype(dtype)
-    val = jnp.einsum("fnw,fnw->fn", R[:, 0], wv)
-    gx = jnp.einsum("fnw,fnw->fn", R[:, 0], wg)
-    gy = jnp.einsum("fnw,fnw->fn", R[:, 1], wv)
+    iy = jnp.arange(H, dtype=dtype)
+    wry = _hat(yf, iy)                                  # [F, N, H]
+    wgy = 0.5 * (_hat(yf + 1.0, iy) - _hat(yf - 1.0, iy))
+    val = jnp.einsum("fnh,fnh->fn", C1, wry)
+    gx = jnp.einsum("fnh,fnh->fn", C2, wry)
+    gy = jnp.einsum("fnh,fnh->fn", C1, wgy)
 
     back = lambda a: jnp.moveaxis(a.reshape(F, P, K), 0, 1)
     return back(val), back(gx), back(gy), ok
