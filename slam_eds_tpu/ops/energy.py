@@ -321,8 +321,6 @@ def assemble(state: BAState, lin: Linearization,
     AH, AT = pair_adjoints(state)
     host = state.p_host
     oh = jax.nn.one_hot(host, F, dtype=dtype)      # [P, F_h]
-    AH_p = _host_select(oh, AH)   # [P, F, 8, 8]
-    AT_p = _host_select(oh, AT)
 
     # per-pixel factor q = [Jrel(8) | Jcalib(4) | Jd(1) | res(1)]
     Jrel_pose = jnp.einsum("pfkg,pfgx->pfkx", lin.JIdx, lin.Jpdxi)
@@ -334,32 +332,39 @@ def assemble(state: BAState, lin: Linearization,
     Q = jnp.einsum("pfka,pfkb->pfab", q, q)        # [P, F, 14, 14]
 
     J, C, d, r = slice(0, 8), slice(8, 12), 12, 13
-    QJJ = Q[..., J, J]
-    # adjoint transforms of the relative block
-    XH = jnp.einsum("pfab,pfbx->pfax", QJJ, AH_p)  # QJJ @ AH
-    XT = jnp.einsum("pfab,pfbx->pfax", QJJ, AT_p)
 
-    # ---- frame-frame blocks [F, F, 8, 8]
+    # ---- host-grouped pair blocks (round-5): the adjoint transform of a
+    # residual's Gram block depends only on its (host, target) pair, so
+    # sum blocks into QH[h, f] FIRST (one reduction over the point axis)
+    # and apply AH/AT on the tiny [F, F, 14, 14] result. This replaces
+    # six [P, F, 8, 8]-shaped einsums + two adjoint-select tensors
+    # (~200 MB HBM traffic per GN iteration) with one reduction and
+    # sub-microsecond [F, F] algebra — the stitch loop of
+    # AccumulatedTopHessianSSE::stitchDouble at grouped granularity.
+    QH = jnp.einsum("pfab,ph->hfab", Q, oh)        # [F_h, F_t, 14, 14]
+    GJJ = QH[..., J, J]
+    GCJ = QH[..., C, J]
+    GJr = QH[..., J, r]
+
+    # frame-frame blocks [F, F, 8, 8]
     Hff = jnp.zeros((F, F, 8, 8), dtype)
-    H_hh = jnp.einsum("pfxa,pfxb,ph->hab", AH_p, XH, oh)
-    H_tt = jnp.einsum("pfxa,pfxb->fab", AT_p, XT)
-    H_ht = jnp.einsum("pfxa,pfxb,ph->hfab", AH_p, XT, oh)
+    H_hh = jnp.einsum("hfxa,hfxy,hfyb->hab", AH, GJJ, AH)
+    H_tt = jnp.einsum("hfxa,hfxy,hfyb->fab", AT, GJJ, AT)
+    H_ht = jnp.einsum("hfxa,hfxy,hfyb->hfab", AH, GJJ, AT)
     diag = jnp.arange(F)
     Hff = Hff.at[diag, diag].add(H_hh + H_tt)
     Hff = Hff + H_ht + jnp.swapaxes(H_ht, 0, 1).transpose(0, 1, 3, 2)
 
-    # ---- calib blocks
-    QCJ = Q[..., C, J]
-    H_cc = jnp.einsum("pfab->ab", Q[..., C, C])
-    H_ch = jnp.einsum("pfax,pfxb,ph->hab", QCJ, AH_p, oh)  # [F, 4, 8]
-    H_ct = jnp.einsum("pfax,pfxb->fab", QCJ, AT_p)
+    # calib blocks
+    H_cc = jnp.einsum("hfab->ab", QH[..., C, C])
+    H_ch = jnp.einsum("hfax,hfxb->hab", GCJ, AH)   # [F, 4, 8]
+    H_ct = jnp.einsum("hfax,hfxb->fab", GCJ, AT)
     H_cf = H_ch + H_ct
 
-    # ---- b
-    QJr = Q[..., J, r]
-    b_c = jnp.einsum("pfa->a", Q[..., C, r])
-    b_h = jnp.einsum("pfx,pfxa,ph->ha", QJr, AH_p, oh)
-    b_t = jnp.einsum("pfx,pfxa->fa", QJr, AT_p)
+    # b
+    b_c = jnp.einsum("hfa->a", QH[..., C, r])
+    b_h = jnp.einsum("hfx,hfxa->ha", GJr, AH)
+    b_t = jnp.einsum("hfx,hfxa->fa", GJr, AT)
     b_f = b_h + b_t
 
     H = jnp.zeros((D, D), dtype)
@@ -372,13 +377,13 @@ def assemble(state: BAState, lin: Linearization,
         Hff.transpose(0, 2, 1, 3).reshape(8 * F, 8 * F))
     b = jnp.concatenate([b_c, b_f.reshape(8 * F)])
 
-    # ---- point Schur pieces
+    # ---- point Schur pieces (per point; adjoints folded via one-hot)
     QJd = Q[..., J, d]
     Hdd = jnp.sum(Q[..., d, d], axis=1)
     bd = jnp.sum(Q[..., d, r], axis=1)
     V_c = jnp.einsum("pfa->pa", Q[..., C, d])
-    V_h = jnp.einsum("pfx,pfxa->pa", QJd, AH_p)        # host col per point
-    V_t = jnp.einsum("pfx,pfxa->pfa", QJd, AT_p)       # [P, F, 8]
+    V_h = jnp.einsum("pfx,ph,hfxa->pa", QJd, oh, AH)   # host col per point
+    V_t = jnp.einsum("pfx,ph,hfxa->pfa", QJd, oh, AT)  # [P, F, 8]
     V_f = V_t + V_h[:, None, :] * oh[:, :, None]
     V = jnp.concatenate([V_c, V_f.reshape(P, 8 * F)], axis=-1)
 
