@@ -72,7 +72,7 @@ def build_state(P, F=8, H=480, W=640, seed=0):
     return state, jnp.asarray(imgs), H, W
 
 
-def time_iterate(state, images, H, W, iters_per_call=24, reps=3):
+def time_iterate(state, images, H, W, iters_per_call=24, reps=5):
     """Drain-inclusive: each sample materializes the energy scalar, since
     block_until_ready through the axon tunnel does not imply execution
     (round-4 finding)."""
@@ -83,6 +83,11 @@ def time_iterate(state, images, H, W, iters_per_call=24, reps=3):
         return st, e
 
     stepj = jax.jit(step)
+    st, e = stepj(state, images)
+    _ = float(e)
+    # one extra unrecorded warm rep: the first drained call after compile
+    # still pays allocator/cache effects that skew the strong-scaling
+    # efficiencies past 1.0 (round-4 VERDICT weak #5)
     st, e = stepj(state, images)
     _ = float(e)
     times = []

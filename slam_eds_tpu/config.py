@@ -98,8 +98,13 @@ class BundlesConfig:
     initial_aff_a_prior: float = 1e14
     initial_aff_b_prior: float = 1e14
     initial_calib_hessian: float = 5e9
-    affine_opt_mode_a: float = 1e12     # setting_affineOptModeA (prior; <0 fixes)
-    affine_opt_mode_b: float = 1e8      # setting_affineOptModeB
+    # per-frame affine priors toward absolute zero (setting_affineOptModeA/B,
+    # settings.cpp:119-120; <0 fixes). The reference quotes them on SCALED
+    # affine variables (SCALE_A=10, SCALE_B=1000, HessianBlocks.h:58-66) —
+    # these are the UNSCALED equivalents (P_unscaled = P_scaled / scale^2):
+    # 1e12/100 and 1e8/1e6.
+    affine_opt_mode_a: float = 1e10
+    affine_opt_mode_b: float = 100.0
     # solver behavior (setting_solverMode = FIX_LAMBDA | ORTHOGONALIZE_X_LATER)
     fix_lambda: float = 1e-5
     # 0 = project every GN step off the gauge nullspace (absolute pose +

@@ -206,9 +206,15 @@ def _event_packet_fused(tracker_state, pose_filter, depth, cam,
 class FrameOnlyPipeline:
     cam: Pinhole
     cfg: EDSConfig = field(default_factory=EDSConfig)
+    # optional PhotometricCalib: its response-derivative table weights the
+    # pixel selector's gradient maps (HessianBlocks::makeImages gamma path)
+    photometric: object = None
 
     def __post_init__(self):
-        self.window = WindowManager(self.cam, self.cfg)
+        bgrad = (self.photometric.b_grad_table()
+                 if self.photometric is not None else None)
+        self.window = WindowManager(self.cam, self.cfg,
+                                    photometric_bgrad=bgrad)
         self.trajectory: List[np.ndarray] = []   # camToWorld translations
         self.poses: List[SE3] = []               # worldToCam per frame
         self.times: List[float] = []             # frame timestamp per entry
@@ -224,6 +230,7 @@ class FrameOnlyPipeline:
         self._lost = False              # explicit lost state (DSO isLost)
         self._lost_frames = 0           # consecutive lost frames
         self._last_rms = float("inf")   # finest-level residual of last OK
+        self._first_rms = None          # finest rms of FIRST track on this KF
         self._resets = 0                # full-reset generation counter
         self._world_anchor = SE3.identity()  # segment start (worldToCam)
 
@@ -244,7 +251,11 @@ class FrameOnlyPipeline:
                 float(jnp.linalg.norm(anchor.t)) > 1e6:
             anchor = SE3.identity()
         self._world_anchor = anchor
-        self.window = WindowManager(self.cam, self.cfg)
+        prev_margs = self.window.marg_count
+        self.window = WindowManager(
+            self.cam, self.cfg,
+            photometric_bgrad=self.window.photometric_bgrad)
+        self.window.marg_count = prev_margs   # lifetime counter
         self._boot_img = None
         self._boot_time = None
         self._init_state = None
@@ -252,6 +263,7 @@ class FrameOnlyPipeline:
         self._lost = False
         self._lost_frames = 0
         self._last_rms = float("inf")
+        self._first_rms = None
         self._motion = SE3.identity()
         self._frames_since_kf = 0
         self._resets += 1
@@ -524,6 +536,8 @@ class FrameOnlyPipeline:
             self._lost_frames = 0
             self._last_good_pose = T_wc
             self._last_rms = best[2]
+            if self._first_rms is None:
+                self._first_rms = best[2]
         else:
             # pure hold while lost (reference DSO sets isLost and stops
             # publishing). Advancing by _motion compounded: one spurious
@@ -546,12 +560,24 @@ class FrameOnlyPipeline:
         # no keyframe while lost: need_new_kf(res) would consume the diverged
         # hypothesis's flow/affine stats and the KF would pin an unverified
         # pose into the window — defer until a track with res.ok succeeds
+        # DSO's third keyframe trigger (FullSystem::makeNonKeyFrame
+        # decision): promote when the finest-level tracking residual has
+        # doubled vs the FIRST frame tracked against this keyframe
+        # (2*firstCoarseRMSE < tres[0]). Without it, fast sequence
+        # segments degrade the track to rms ~10+ between flow-triggered
+        # keyframes, new KFs then enter the window with bad poses, and the
+        # BA energy balloons (the round-5 degradation trail leading into
+        # the 640x480 collapse).
+        rms_doubled = (bool(res.ok) and self._first_rms is not None
+                       and self._last_rms > 2.0 * self._first_rms)
         make_kf = (not self._lost) and (
             self.window.need_new_kf(res)
+            or rms_doubled
             or self._frames_since_kf >= self.cfg.bundles.min_frames)
         if make_kf:
             self._add_keyframe(img, T_wc, time, res)
             self._frames_since_kf = 0
+            self._first_rms = None     # re-anchor on the new keyframe
         elif self._lost and self._lost_frames \
                 >= self.cfg.coarse.full_reset_lost_frames:
             # persistent loss: discard the window and re-bootstrap
@@ -572,6 +598,18 @@ class FrameOnlyPipeline:
         e, lin = w.optimize()
         self.telemetry.ba(energy=e)
         w.flag_and_marginalize(lin)
+        # Marginalizing a frame removes its hosted points from the active
+        # set. When the dying frame hosted a large share of the map (the
+        # bootstrap keyframe starts with all of it), refill from the
+        # surviving frames' immature points BEFORE rebuilding the tracking
+        # template, so the tracker never sees the hole — DSO reaches the
+        # same equilibrium through activatePointsMT's density control at
+        # the next keyframe, but at 640x480 the one-keyframe gap was
+        # enough to lose tracking (round-5 collapse root cause).
+        from . import ba_state as _bs
+        n_act = int((np.asarray(w.state.p_status) == _bs.PT_ACTIVE).sum())
+        if n_act < 0.7 * self.cfg.caps.max_points_per_kf:
+            w.activate_points()
         w.rebuild_coarse_template()
         # tracking reference pose may have been refined by BA
         st = w.state
@@ -590,9 +628,11 @@ class EDSPipeline:
     backend (window BA) alive and provide keyframe images."""
     cam: Pinhole
     cfg: EDSConfig = field(default_factory=EDSConfig)
+    photometric: object = None
 
     def __post_init__(self):
-        self.frame_pipe = FrameOnlyPipeline(self.cam, self.cfg)
+        self.frame_pipe = FrameOnlyPipeline(self.cam, self.cfg,
+                                            photometric=self.photometric)
         self.kf: Optional[kfm.KeyFrame] = None
         self.depth: Optional[df.DepthFilterState] = None
         self.tracker_state = et.initial_tracker_state()

@@ -226,6 +226,13 @@ class WindowManager:
     next_id: int = 0
     coarse_templates: list = None       # templates for newest KF
     newest_slot: int = -1
+    # [256] forward-response derivative table (PhotometricCalib.
+    # b_grad_table) or None: when set, the pixel selector's squared-
+    # gradient maps are weighted by bg(I)^2 per level — the
+    # setting_gammaWeightsPixelSelect path of FrameHessian::makeImages
+    # (src/tracking/HessianBlocks.cpp, dabs_l *= gw*gw)
+    photometric_bgrad: object = None
+    marg_count: int = 0       # frames Schur-eliminated over this window's life
 
     def __post_init__(self):
         F = self.cfg.caps.max_window_frames
@@ -276,10 +283,22 @@ class WindowManager:
         if is_first:
             prior[:3] = self.cfg.bundles.initial_trans_prior
             prior[3:6] = self.cfg.bundles.initial_rot_prior
+        # affine priors pin EVERY frame's (a, b) toward ABSOLUTE zero
+        # (FrameHessian::getPrior p[6]/p[7] with getPriorZero() == 0 —
+        # setting_affineOptModeA/B are quoted in SCALE_A/SCALE_B scaled
+        # units; config stores the unscaled equivalents). Round-5 collapse
+        # root cause #2: anchoring this prior at the INHERITED tracked
+        # affine (frame_prior_delta0 = 0 pulls toward aff_eval) let the
+        # tracker's per-generation (a, b) wander accumulate without bound
+        # (b: 3 -> 35 over 6 keyframe generations on a constant-brightness
+        # scene), ballooning the BA energy until the window collapsed.
+        prior_d0 = np.zeros(8, np.float32)
         if self.cfg.bundles.affine_opt_mode_a > 0:
             prior[6] = self.cfg.bundles.affine_opt_mode_a
+            prior_d0[6] = -float(aff[0])     # delta - d0 = absolute a
         if self.cfg.bundles.affine_opt_mode_b > 0:
             prior[7] = self.cfg.bundles.affine_opt_mode_b
+            prior_d0[7] = -float(aff[1])     # delta - d0 = absolute b
         self.state = st._replace(
             T_eval=SE3(st.T_eval.R.at[slot].set(T_wc.R),
                        st.T_eval.t.at[slot].set(T_wc.t)),
@@ -287,7 +306,8 @@ class WindowManager:
             delta=st.delta.at[slot].set(0.0),
             exposure=st.exposure.at[slot].set(exposure),
             frame_prior=st.frame_prior.at[slot].set(jnp.asarray(prior)),
-            frame_prior_delta0=st.frame_prior_delta0.at[slot].set(0.0),
+            frame_prior_delta0=st.frame_prior_delta0.at[slot].set(
+                jnp.asarray(prior_d0)),
             frame_valid=st.frame_valid.at[slot].set(True),
             frame_energy_th=st.frame_energy_th.at[slot].set(1e8),
             # existing active points observe the new keyframe: DSO creates a
@@ -306,6 +326,11 @@ class WindowManager:
         (FullSystem::makeNewTraces equivalent; density from config)."""
         pyr = self.pyramids[slot]
         abs_sq = [jnp.sum(l[..., 1:3] ** 2, -1) for l in pyr[:3]]
+        if self.photometric_bgrad is not None:
+            bg = jnp.asarray(self.photometric_bgrad, jnp.float32)
+            gw = [bg[jnp.clip((l[..., 0] + 0.5).astype(jnp.int32), 0, 255)]
+                  for l in pyr[:3]]
+            abs_sq = [a * g * g for a, g in zip(abs_sq, gw)]
         status, n_sel, _ = pixel_selector.make_maps(
             pyr[0], abs_sq, density=self.cfg.selector.desired_immature_density,
             pot_initial=self.cfg.selector.potential_initial,
@@ -623,7 +648,19 @@ class WindowManager:
         """Point flagging + frame marginalization policy. Runs after BA."""
         st = self.state
         F = st.num_frames
-        valid_np = np.asarray(lin.valid)
+        # DSO permanence: a residual whose projection left the frame is
+        # REMOVED, not suspended (linearizeAll collects ResState::OOB into
+        # toRemove -> dropResidual; Residuals.cpp applyRes). This is what
+        # creates point turnover: stale points lose residuals for good,
+        # fall under the support threshold, and free their slots for
+        # activation from newer hosts. Without it the point set freezes at
+        # capacity with the bootstrap frame hosting most of the map, and
+        # that frame's eventual marginalization deletes ~70% of all active
+        # points at once (the round-4 640x480 window-full collapse —
+        # root-caused round 5, see tests/test_window_survival.py).
+        st = st._replace(r_active=st.r_active & ~lin.oob)
+        self.state = st
+        valid_np = np.asarray(lin.valid & ~lin.oob)
         n_res = valid_np.sum(axis=1)
         status = np.asarray(st.p_status)
         host = np.asarray(st.p_host)
@@ -686,9 +723,13 @@ class WindowManager:
                     if sc > best:
                         best, marg_slot = sc, i
 
-        # point flags
+        # point flags: drop points with NO surviving residuals (DSO drops
+        # at residuals.size()==0 / ngoodres==0, FullSystem removeOutliers +
+        # resubstituteFPt guard; a >=2 threshold killed legitimately-thin
+        # maps in small windows, e.g. the 26-point post-reset bootstrap
+        # where every point has only 2 possible targets)
         new_status = status.copy()
-        drop = active & (n_res < 2)
+        drop = active & (n_res < 1)
         new_status[drop] = bs.PT_DROP
         if marg_slot is not None:
             of_frame = active & (host == marg_slot)
@@ -720,6 +761,7 @@ class WindowManager:
             self.state = _marg_frame_compiled(self.state, slot=marg_slot)
             self.immatures[marg_slot] = None
             self.frame_ids[marg_slot] = -1
+            self.marg_count += 1
         return marg_slot
 
     # ------------------------------------------------------------------

@@ -154,7 +154,8 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
             img = np.asarray(_remap_j(jnp.asarray(img)))
         return img
 
-    pipe = (FrameOnlyPipeline if frame_only else EDSPipeline)(cam, cfg)
+    pipe = (FrameOnlyPipeline if frame_only else EDSPipeline)(
+        cam, cfg, photometric=photometric)
 
     ring = None
     events_path = os.path.join(dataset_dir, "events.txt")
@@ -242,6 +243,8 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
         "frames_per_s": len(img_names) / wall,
     }
     fp = pipe if frame_only else pipe.frame_pipe
+    out["resets"] = fp._resets
+    out["marginalizations"] = fp.window.marg_count
     est = np.stack(fp.trajectory) if fp.trajectory else np.zeros((0, 3))
     out["positions"] = est
     gt_path = os.path.join(dataset_dir, "groundtruth.txt")

@@ -177,3 +177,14 @@ class PhotometricCalib:
         if self.vignette_inv is not None:
             out = out * jnp.asarray(self.vignette_inv)
         return out
+
+    def b_grad_table(self) -> np.ndarray:
+        """[256] lookup of the forward-response derivative at a corrected
+        intensity: bg[i] = B[c+1] - B[c] with c = clip(round(i), 5, 250) —
+        CalibHessian::getBGradOnly (src/tracking/HessianBlocks.h:384-390).
+        FrameHessian::makeImages multiplies the squared-gradient map by
+        bg^2 ("convert to gradient of original color space") before pixel
+        selection when setting_gammaWeightsPixelSelect is on."""
+        B = np.asarray(self.B, np.float64)
+        c = np.clip(np.arange(256), 5, 250)
+        return np.asarray(B[c + 1] - B[c], np.float32)

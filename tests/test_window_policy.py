@@ -90,6 +90,7 @@ def test_marginalization_prefers_diverged_affine_frame():
 
     class FakeLin:
         valid = jnp.asarray(np.ones((P, F), bool))
+        oob = jnp.asarray(np.zeros((P, F), bool))
 
     slot = wm.flag_and_marginalize(FakeLin())
     # frame 1 (aff a=2.0 vs newest 0.0 -> |log fac| = 2.0 > 0.7) dies first
@@ -105,6 +106,8 @@ def test_min_frame_age_protects_young_frames():
     class FakeLin:
         valid = jnp.asarray(np.zeros((cfg.caps.max_points_per_kf,
                                       cfg.caps.max_window_frames), bool))
+        oob = jnp.asarray(np.zeros((cfg.caps.max_points_per_kf,
+                                    cfg.caps.max_window_frames), bool))
 
     slot = wm.flag_and_marginalize(FakeLin())
     assert slot is not None
