@@ -304,10 +304,20 @@ class FrameOnlyPipeline:
         gx, gy = image_ops.sobel(g0, 3)
         gmag = image_ops.gradient_magnitude(gx, gy)
         uv0, mask = candidate_points_grid(gmag, patch=8, capacity=512)
-        pyr0 = [l[..., 0] for l in image_ops.build_pyramid(g0, 3)[0]]
-        pyr1 = [l[..., 0] for l in image_ops.build_pyramid(g1, 3)[0]]
+        # 4 pyramid levels: the boot pair can carry 20+ px of flow when the
+        # parallax gate holds the first frame through a fast segment (e.g.
+        # re-bootstrapping after a reset); 3 levels lost most tracks there
+        pyr0 = [l[..., 0] for l in image_ops.build_pyramid(g0, 4)[0]]
+        pyr1 = [l[..., 0] for l in image_ops.build_pyramid(g1, 4)[0]]
         uv1, ok, _ = klt.klt_track_pyramid(pyr0, pyr1, uv0)
         m = mask & ok
+        # baseline overrun: ample parallax but the pair has drifted beyond
+        # what KLT can bridge (track survival collapsed) — fail so the
+        # caller re-anchors the pair at the current frame (the DSO
+        # initializer's setFirst-again behavior when tracking breaks)
+        n_cand = float(jnp.sum(mask))
+        if n_cand > 0 and float(jnp.sum(m)) < 0.2 * n_cand:
+            return False
 
         # parallax gate (the eight-point analog of the DSO initializer's
         # 'snapped' criterion, CoarseInitializer.cpp:204-261): an
@@ -354,11 +364,17 @@ class FrameOnlyPipeline:
         self.window.insert_frame(img1, T1, t1, immature_seed=None)
         self.window.trace_all(self.window.newest_slot)
         n_act = self.window.activate_points()
-        if n_act < 16:
-            # degenerate structure (inliers passed but almost nothing
-            # traced/activated): a 5-point map collapses immediately —
-            # discard the window and keep waiting for a better pair
-            self.window = WindowManager(self.cam, self.cfg)
+        # degenerate structure (inliers passed but almost nothing traced /
+        # activated): a tens-of-points map collapses immediately — discard
+        # the window and keep waiting for a better pair. Floor scales with
+        # the configured budget (a 28-point bootstrap at a 2048 budget was
+        # observed to lose tracking within two frames)
+        if n_act < max(16, 0.05 * self.cfg.caps.max_points_per_kf):
+            margs = self.window.marg_count
+            self.window = WindowManager(
+                self.cam, self.cfg,
+                photometric_bgrad=self.window.photometric_bgrad)
+            self.window.marg_count = margs   # lifetime counter
             return False
         self.window.optimize()
         self.window.rebuild_coarse_template()

@@ -508,16 +508,18 @@ def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
     H_f = H_f + jnp.diag(jnp.where(act, 0.0, 1.0))
 
     # scaled solve (SVecI preconditioning, EnergyFunctional.cpp:888-893).
-    # The reference LDLT-solves the scaled system; the damped GN Hessian +
-    # priors is PSD (diag ~1 after scaling), so a Cholesky solve with a
-    # small scaled jitter is equivalent and much cheaper on TPU than LU
-    # with pivoting (jnp.linalg.solve): ~35% of the whole 6-iteration BA
-    # dispatch was the solve stage before this change (round-5 decomp).
+    # The reference LDLT-solves the scaled system. LU (jnp.linalg.solve)
+    # rather than Cholesky: near the bootstrap the reduced system carries
+    # rows whose scaled diagonal can round marginally negative, and the
+    # TPU Cholesky then poisons the whole window state with NaNs (observed
+    # round 5 at 640x480 — every event keyframe downstream inherited NaN
+    # depth; CPU happened to tolerate the same matrix). LU costs ~0.1 ms
+    # more per GN iteration and never manufactures NaN from an
+    # almost-PSD input.
     svec_i = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(H_f)) + 10.0)
     Hs = H_f * svec_i[:, None] * svec_i[None, :]
     bs = b_f * svec_i
-    c = jax.scipy.linalg.cho_factor(Hs + 1e-8 * jnp.eye(D, dtype=dtype))
-    x = svec_i * jax.scipy.linalg.cho_solve(c, bs)
+    x = svec_i * jnp.linalg.solve(Hs + 1e-8 * jnp.eye(D, dtype=dtype), bs)
     x = jnp.where(act, x, 0.0)
 
     # gauge projection; use_orth may be a traced bool (ORTHOGONALIZE_X_LATER

@@ -245,6 +245,7 @@ def run_sequence(dataset_dir: str, cfg: Optional[EDSConfig] = None,
     fp = pipe if frame_only else pipe.frame_pipe
     out["resets"] = fp._resets
     out["marginalizations"] = fp.window.marg_count
+    out["keyframes"] = fp.window.next_id
     est = np.stack(fp.trajectory) if fp.trajectory else np.zeros((0, 3))
     out["positions"] = est
     gt_path = os.path.join(dataset_dir, "groundtruth.txt")
