@@ -81,13 +81,15 @@ def main():
                     help="2 configs x 2 seeds smoke variant")
     args = ap.parse_args()
     seeds = list(range(1, args.seeds + 1))
+    # all configs share the 64k packet shape so the jitted packet program
+    # compiles once; blur ksize and iteration caps are static args with
+    # small recompiles
     grid = [
         ("base_64k", 65536, 0, (20, 15, 10)),
-        ("dense_128k", 131072, 0, (20, 15, 10)),
-        ("sparse_32k", 32768, 0, (20, 15, 10)),
+        ("blur3", 65536, 3, (20, 15, 10)),
         ("blur5", 65536, 5, (20, 15, 10)),
         ("more_iters", 65536, 0, (40, 30, 20)),
-        ("blur5_more_iters", 65536, 5, (40, 30, 20)),
+        ("blur3_more_iters", 65536, 3, (40, 30, 20)),
     ]
     if args.quick:
         grid = grid[:2]

@@ -68,9 +68,10 @@ def batched_event_solves(states: et.TrackerState, event_frames, cam: Pinhole,
                          weights, mask, ls)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "iterations"))
+@partial(jax.jit, static_argnames=("height", "width", "iterations",
+                                   "orth_from_iteration"))
 def batched_ba_windows(states, target_images, height: int, width: int,
-                       iterations: int = 6):
+                       iterations: int = 6, orth_from_iteration: int = 2):
     """vmap of the full keyframe-BA GN loop (ops/energy.ba_iterate) over a
     leading batch axis B — B independent sliding windows (e.g. one per
     replayed sequence) advance in one MXU-shaped program.
@@ -82,7 +83,8 @@ def batched_ba_windows(states, target_images, height: int, width: int,
 
     def one(st, im):
         st2, e, _ = energy.ba_iterate(st, im, height, width,
-                                      iterations=iterations)
+                                      iterations=iterations,
+                                      orth_from_iteration=orth_from_iteration)
         return st2, e
 
     return jax.vmap(one)(states, target_images)

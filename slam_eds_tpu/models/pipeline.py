@@ -304,11 +304,15 @@ class FrameOnlyPipeline:
         gx, gy = image_ops.sobel(g0, 3)
         gmag = image_ops.gradient_magnitude(gx, gy)
         uv0, mask = candidate_points_grid(gmag, patch=8, capacity=512)
-        # 4 pyramid levels: the boot pair can carry 20+ px of flow when the
-        # parallax gate holds the first frame through a fast segment (e.g.
-        # re-bootstrapping after a reset); 3 levels lost most tracks there
-        pyr0 = [l[..., 0] for l in image_ops.build_pyramid(g0, 4)[0]]
-        pyr1 = [l[..., 0] for l in image_ops.build_pyramid(g1, 4)[0]]
+        # 4 pyramid levels at full resolution: the boot pair can carry
+        # 20+ px of flow when the parallax gate holds the first frame
+        # through a fast segment (re-bootstrapping after a reset); 3
+        # levels lost most tracks there. Small images keep 3 — a 4th
+        # level of a 96-px-tall frame is a 12-px thumbnail that degrades
+        # the track instead
+        n_lvl = 4 if min(g0.shape) >= 240 else 3
+        pyr0 = [l[..., 0] for l in image_ops.build_pyramid(g0, n_lvl)[0]]
+        pyr1 = [l[..., 0] for l in image_ops.build_pyramid(g1, n_lvl)[0]]
         uv1, ok, _ = klt.klt_track_pyramid(pyr0, pyr1, uv0)
         m = mask & ok
         # baseline overrun: ample parallax but the pair has drifted beyond
@@ -370,11 +374,12 @@ class FrameOnlyPipeline:
         # the configured budget (a 28-point bootstrap at a 2048 budget was
         # observed to lose tracking within two frames)
         if n_act < max(16, 0.05 * self.cfg.caps.max_points_per_kf):
-            margs = self.window.marg_count
+            margs, kfs = self.window.marg_count, self.window.next_id
             self.window = WindowManager(
                 self.cam, self.cfg,
                 photometric_bgrad=self.window.photometric_bgrad)
-            self.window.marg_count = margs   # lifetime counter
+            self.window.marg_count = margs   # lifetime counters
+            self.window.next_id = kfs
             return False
         self.window.optimize()
         self.window.rebuild_coarse_template()
@@ -546,6 +551,15 @@ class FrameOnlyPipeline:
                 break
         if best is not None:
             res, T_wc = best[0], best[1]
+            # residual acceptance bound (the trackingIsGood check DSO's
+            # FullSystem applies on achievedRes): the coarse tracker's
+            # robust cutoff saturates per-pixel residuals at cutoff_th, so
+            # a "converged" fit whose rms sits at the cutoff has aligned
+            # nothing (white-noise frames produce exactly this and can
+            # slip past the geometric/affine gates via the relocalization
+            # hypotheses). Residual near the saturation level = failure.
+            if best[2] > 0.75 * self.cfg.coarse.coarse_cutoff_th:
+                res = res._replace(ok=jnp.asarray(False))
         if bool(res.ok):
             self._motion = T_wc.compose(self._last_pose.inverse())
             self._lost = False
@@ -584,8 +598,12 @@ class FrameOnlyPipeline:
         # keyframes, new KFs then enter the window with bad poses, and the
         # BA energy balloons (the round-5 degradation trail leading into
         # the 640x480 collapse).
+        # absolute floor: doubling a noise-level residual (tiny images,
+        # well-textured scenes track at rms ~1) is not degradation — only
+        # promote when the residual is also materially large
         rms_doubled = (bool(res.ok) and self._first_rms is not None
-                       and self._last_rms > 2.0 * self._first_rms)
+                       and self._last_rms > 2.0 * self._first_rms
+                       and self._last_rms > 4.0)
         make_kf = (not self._lost) and (
             self.window.need_new_kf(res)
             or rms_doubled

@@ -430,10 +430,15 @@ def track_newest_coarse(templates: Sequence[LevelTemplate],
         ok = ok & (rms <= 1.5 * min_res_for_abort[lvl]) & visible
 
     shiftT, shiftR, shiftRT = flow_indicators(templates[0], cams[0], pose)
-    # affine sanity (CoarseTracker.cpp:685-698): with the affine priors
-    # active (setting_affineOptMode* > 0, the default) the reference gates
-    # the ABSOLUTE estimates; the relative gate is the mode==0 branch
-    ok = ok & (jnp.abs(aff[0]) < 1.2) & (jnp.abs(aff[1]) < 200.0)
+    # affine sanity (CoarseTracker.cpp:685-698): the reference's mode>0
+    # branch bounds the ABSOLUTE estimates; the relative-to-reference
+    # bound (its mode==0 branch) additionally catches garbage frames whose
+    # fit lands at a small absolute affine but a large relative one — keep
+    # both (a diverged solve must not pass as ok)
+    rel = aff_from_to(exposures[0], aff_ref, exposures[1], aff)
+    ok = ok & (jnp.abs(aff[0]) < 1.2) & (jnp.abs(aff[1]) < 200.0) \
+             & (jnp.abs(jnp.log(jnp.maximum(rel[0], 1e-12))) < 1.5) \
+             & (jnp.abs(rel[1]) < 200.0)
     return TrackResult(pose=pose, aff=aff, ok=ok,
                        residuals=jnp.stack(per_level_rms),
                        flow_indicators=jnp.stack([shiftT, shiftR, shiftRT]))

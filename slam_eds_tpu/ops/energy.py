@@ -519,7 +519,7 @@ def solve_delta(state: BAState, asm: Assembled, lam: float = 1e-5,
     svec_i = 1.0 / jnp.sqrt(jnp.abs(jnp.diagonal(H_f)) + 10.0)
     Hs = H_f * svec_i[:, None] * svec_i[None, :]
     bs = b_f * svec_i
-    x = svec_i * jnp.linalg.solve(Hs + 1e-8 * jnp.eye(D, dtype=dtype), bs)
+    x = svec_i * jnp.linalg.solve(Hs + 1e-10 * jnp.eye(D, dtype=dtype), bs)
     x = jnp.where(act, x, 0.0)
 
     # gauge projection; use_orth may be a traced bool (ORTHOGONALIZE_X_LATER

@@ -85,7 +85,7 @@ def test_pipeline_unaffected_by_declared_gamma():
     cfg = load_config({
         "caps": {"max_points_per_kf": 256, "max_immature_per_kf": 256,
                  "max_window_frames": 5},
-        "bundles": {"window_size": 4, "min_frames": 3},
+        "bundles": {"window_size": 4, "min_frames": 2},
         "coarse": {"pyr_levels": 3, "max_iterations": [8, 10, 10]},
         "selector": {"desired_immature_density": 250.0,
                      "desired_point_density": 200.0}})
